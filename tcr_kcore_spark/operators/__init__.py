@@ -1,0 +1,25 @@
+"""Algorithm operators (SURVEY.md §2.D): each is a function
+``(LinkGraph, ...) -> DataFrame`` of per-vertex results, built on the
+superstep driver."""
+
+from tcr_kcore_spark.operators.bfs import bfs
+from tcr_kcore_spark.operators.components import connected_components
+from tcr_kcore_spark.operators.hits import hits
+from tcr_kcore_spark.operators.kcore import kcore, kcore_hindex_rounds
+from tcr_kcore_spark.operators.lpa import label_propagation
+from tcr_kcore_spark.operators.pagerank import pagerank
+from tcr_kcore_spark.operators.sssp import sssp
+from tcr_kcore_spark.operators.triangles import local_clustering_coefficient, triangle_count
+
+__all__ = [
+    "bfs",
+    "connected_components",
+    "hits",
+    "kcore",
+    "kcore_hindex_rounds",
+    "label_propagation",
+    "pagerank",
+    "sssp",
+    "triangle_count",
+    "local_clustering_coefficient",
+]

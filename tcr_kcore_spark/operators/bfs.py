@@ -1,0 +1,89 @@
+"""BFS — reference D8 (``TCR/src/demo/BFS.py:16-132``).
+
+Reference semantics: pull-based min-distance, init ``inf`` except source=0,
+``d'_v = min(d_v, min_{u∈in(v)} d_u + 1)``; terminates when no distance
+changes.  The Spark formulation is the classic frontier BFS: the frontier is
+the set of vertices first reached last superstep; each superstep is one
+(broadcastable) semi-join expansion — distance = superstep index.  Output is
+identical to the reference's fixpoint.
+
+Unreachable vertices: distance NULL (the reference leaves them at inf and
+its writer prints inf; NULL is our typed equivalent — documented deviation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tcr_kcore_spark.graph import LinkGraph
+from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
+
+
+def bfs(
+    graph: LinkGraph,
+    source: int,
+    max_iter: int = 200,
+    directed: bool | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
+    resume: bool = False,
+) -> tuple[DataFrame, SuperstepStats]:
+    """Returns ((id, distance), stats).  ``directed=None`` follows the
+    graph's own directedness (the reference BFS gathers over in-edges of a
+    directed CSC, i.e. traverses directed edges forward)."""
+    g = graph if (directed is None or directed == graph.directed) else (
+        graph.undirected_view() if not directed else graph
+    )
+    edges = g.edges.select("src", "dst").persist()
+    edges.count()
+    verts = g.vertices()
+
+    # state: (id, dist, frontier) — frontier = reached exactly last step
+    init = verts.select(
+        "id",
+        F.when(F.col("id") == source, F.lit(0)).cast("long").alias("dist"),
+        (F.col("id") == source).alias("frontier"),
+    )
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        frontier = state.where("frontier").select(F.col("id").alias("src"))
+        reached = (
+            edges.join(frontier, "src", "left_semi")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .withColumn("hit", F.lit(True))
+        )
+        return (
+            state.join(reached, "id", "left")
+            .select(
+                "id",
+                F.coalesce(
+                    F.col("dist"),
+                    F.when(F.col("hit"), F.lit(i + 1).cast("long")),
+                ).alias("new_dist"),
+                "dist",
+            )
+            .select(
+                "id",
+                F.col("new_dist").alias("dist"),
+                (F.col("new_dist").isNotNull() & F.col("dist").isNull()).alias("frontier"),
+            )
+        )
+
+    def converged(prev: DataFrame, new: DataFrame, i: int) -> bool:
+        return new.where("frontier").limit(1).count() == 0
+
+    state, stats = run_supersteps(
+        init,
+        step,
+        converged,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        name="bfs",
+        resume=resume,
+    )
+    out = state.select("id", F.col("dist").alias("distance"))
+    edges.unpersist()
+    return out, stats

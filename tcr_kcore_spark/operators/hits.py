@@ -1,0 +1,93 @@
+"""HITS — reference D12 (``TCR/src/demo/HITS.py:14-82``).
+
+Semantics: hub/authority mutual recursion with global L2 normalization each
+superstep; fixed iteration cap (50) with an early-out when both score
+vectors move less than a threshold (1e-4).
+
+Spark formulation: two join+groupBy-sum passes per superstep (auth from
+in-edges of hubs, hub from out-edges of auths) plus one scalar aggregation
+for each L2 norm (the reference's global norm is the same driver-side
+scalar, ``HITS.py:39-46``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tcr_kcore_spark.graph import LinkGraph
+from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
+
+
+def hits(
+    graph: LinkGraph,
+    max_iter: int = 50,
+    tol: float = 1e-4,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
+    resume: bool = False,
+) -> tuple[DataFrame, SuperstepStats]:
+    """Returns ((id, hub, auth), stats) on the directed graph."""
+    edges = graph.edges.select("src", "dst").persist()
+    edges.count()
+    verts = graph.vertices()
+    init = verts.select(
+        "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"), F.lit(1.0).alias("delta")
+    )
+
+    def _l2_normalize(df: DataFrame, col: str) -> DataFrame:
+        norm = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col)))).first()[0] or 1.0
+        return df.withColumn(col, F.col(col) / F.lit(norm))
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        hubs = state.select(F.col("id").alias("src"), "hub")
+        new_auth = (
+            edges.join(hubs, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        new_auth = verts.join(new_auth, "id", "left").select(
+            "id", F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth")
+        )
+        new_auth = _l2_normalize(new_auth, "auth").persist()
+        auths = new_auth.select(F.col("id").alias("dst"), F.col("auth").alias("a"))
+        new_hub = (
+            edges.join(auths, "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("a").alias("hub"))
+        )
+        new_hub = verts.join(new_hub, "id", "left").select(
+            "id", F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub")
+        )
+        new_hub = _l2_normalize(new_hub, "hub")
+        return (
+            state.select("id", F.col("hub").alias("old_hub"), F.col("auth").alias("old_auth"))
+            .join(new_hub, "id")
+            .join(new_auth, "id")
+            .select(
+                "id",
+                "hub",
+                "auth",
+                F.greatest(
+                    F.abs(F.col("hub") - F.col("old_hub")),
+                    F.abs(F.col("auth") - F.col("old_auth")),
+                ).alias("delta"),
+            )
+        )
+
+    def converged(prev: DataFrame, new: DataFrame, i: int) -> bool:
+        return (new.agg(F.max("delta")).first()[0] or 0.0) <= tol
+
+    state, stats = run_supersteps(
+        init,
+        step,
+        converged,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        name="hits",
+        resume=resume,
+    )
+    out = state.select("id", "hub", "auth")
+    edges.unpersist()
+    return out, stats

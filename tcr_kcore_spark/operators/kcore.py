@@ -1,0 +1,246 @@
+"""k-core decomposition — the heart of the reference (SURVEY.md §2.D D4-D6).
+
+Reference semantics (exact peel, ``TCR/src/demo/KCore_new_v3.py:46-85``):
+start at ``k=1``; repeatedly peel ``B = {v alive : deg(v) ≤ k}`` — every
+peeled vertex gets coreness ``k``, each deleted edge decrements its
+neighbor's degree (the reference counts decrements with
+``torch.unique(return_counts)``, ``KCore_new_v3.py:68-69``) — and when no
+vertex is peelable, increment k; stop when nothing is left.  The distributed
+variant adds a two-phase shrink: once ~98% of vertices are peeled the
+survivor graph is re-materialized small (``PKC/pkc.c:23`` ``frac 0.98``;
+``TCR/src/demo/KCore_big.py`` phase 2).
+
+Spark formulations:
+
+- ``mode="peel"`` — faithful peel: each inner round is one shuffle
+  (``B ⋈ edges → groupBy(dst).count``) applied to a cached survivor edge
+  set; the survivor set is re-materialized (checkpoint + re-read) whenever
+  the alive fraction halves, which both bounds lineage and reproduces the
+  reference's two-phase shrink.  ``k`` jumps straight to the minimum
+  remaining degree instead of incrementing by 1 (identical output, far
+  fewer empty rounds — the reference pays one all-reduce per empty round).
+- ``mode="hindex"`` — iterated h-index (Montresor-style estimate, reference
+  D5 ``TCR/src/demo/KCore.py:66-84``): ``est₀ = degree``;
+  ``est' = h-index of neighbor estimates``; the fixpoint is exactly the
+  coreness (Lü et al. 2016).  Each round is one join + one window — O(few
+  tens) of rounds total vs O(Σ peel rounds); this is the scale path, and
+  converges to the SAME exact coreness as the peel.
+
+Isolated vertices: the engine's vertex set derives from edges after
+self-loop removal, so none arise; the reference's output writer likewise
+skips zero-degree vertices (``KCoreGPU-master/.../src/graph.cpp:133-136``).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tcr_kcore_spark.graph import LinkGraph
+from tcr_kcore_spark.superstep import (
+    SuperstepStats,
+    release_state,
+    run_supersteps,
+    truncate_lineage,
+)
+
+
+def kcore(
+    graph: LinkGraph,
+    mode: str = "hindex",
+    max_iter: int = 500,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 20,
+    resume: bool = False,
+    shrink_factor: float = 0.5,
+) -> tuple[DataFrame, SuperstepStats]:
+    """Returns ((id, coreness), stats) on the symmetrized graph."""
+    g = graph.undirected_view()
+    if mode == "hindex":
+        return _hindex(g, max_iter, checkpoint_dir, checkpoint_every, resume)
+    if mode == "peel":
+        return _peel(g, max_iter, shrink_factor)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# h-index fixpoint (scale path)
+# ---------------------------------------------------------------------------
+
+
+def _hindex_round(edges: DataFrame, est: DataFrame) -> DataFrame:
+    """One h-operator application: est'_v = h-index of {est_u : u ∈ N(v)}.
+
+    h-index via a window: sort neighbor estimates descending per vertex,
+    h = max(min(est_i, i)).  All JVM-side (whole-stage codegen), no Python.
+    """
+    msgs = edges.join(
+        est.select(F.col("id").alias("src"), F.col("est").alias("nbr_est")), "src"
+    ).select(F.col("dst").alias("id"), "nbr_est")
+    w = Window.partitionBy("id").orderBy(F.desc("nbr_est"))
+    h = (
+        msgs.withColumn("rn", F.row_number().over(w))
+        .select("id", F.least(F.col("nbr_est"), F.col("rn")).alias("cap"))
+        .groupBy("id")
+        .agg(F.max("cap").alias("h"))
+    )
+    # est is monotone non-increasing; vertices absent from msgs keep est
+    return (
+        est.join(h, "id", "left")
+        .select(
+            "id",
+            F.least(F.col("est"), F.coalesce(F.col("h"), F.col("est"))).alias("new_est"),
+            "est",
+        )
+        .select(
+            "id",
+            F.col("new_est").alias("est"),
+            (F.col("new_est") < F.col("est")).alias("changed"),
+        )
+    )
+
+
+def _hindex(
+    g: LinkGraph,
+    max_iter: int,
+    checkpoint_dir: str | None,
+    checkpoint_every: int,
+    resume: bool,
+) -> tuple[DataFrame, SuperstepStats]:
+    edges = g.edges.select("src", "dst").persist()
+    edges.count()
+    init = g.degrees().select(
+        "id", F.col("degree").cast("long").alias("est"), F.lit(True).alias("changed")
+    )
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        return _hindex_round(edges, state.select("id", "est"))
+
+    def converged(prev: DataFrame, new: DataFrame, i: int) -> bool:
+        return new.where("changed").limit(1).count() == 0
+
+    state, stats = run_supersteps(
+        init,
+        step,
+        converged,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        name="kcore_hindex",
+        resume=resume,
+    )
+    out = state.select("id", F.col("est").alias("coreness"))
+    edges.unpersist()
+    return out, stats
+
+
+def kcore_hindex_rounds(graph: LinkGraph, rounds: int) -> DataFrame:
+    """Fixed number of h-operator rounds (no convergence check) — used by
+    oracle-checked query entries where the SQL oracle unrolls the identical
+    rounds.  At convergence (rounds ≥ needed) equals exact coreness."""
+    g = graph.undirected_view()
+    edges = g.edges.select("src", "dst").persist()
+    est = g.degrees().select("id", F.col("degree").cast("long").alias("est"))
+    for i in range(rounds):
+        new_est = truncate_lineage(_hindex_round(edges, est).select("id", "est"))
+        release_state(est)
+        est = new_est
+    out = est.select("id", F.col("est").alias("coreness"))
+    edges.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# exact peel (reference-faithful path)
+# ---------------------------------------------------------------------------
+
+
+def _peel(
+    g: LinkGraph, max_iter: int, shrink_factor: float
+) -> tuple[DataFrame, SuperstepStats]:
+    import tempfile
+
+    spark = g.edges.sparkSession
+    stats = SuperstepStats()
+    t0 = time.time()
+    # peeled batches append to a scratch Parquet dir — keeps the result's
+    # lineage flat no matter how many peel rounds run
+    out_dir = tempfile.mkdtemp(prefix="kcore_peel_")
+
+    edges = g.edges.select("src", "dst").persist()
+    deg = (
+        g.degrees()
+        .select("id", F.col("degree").cast("long").alias("deg"))
+        .persist()
+    )
+    total_alive = deg.count()
+    alive = total_alive
+    last_shrink = total_alive
+
+    wrote_any = False
+    k = None
+    while alive > 0 and stats.supersteps < max_iter:
+        bounds = deg.agg(F.min("deg").alias("mn")).first()
+        min_deg = bounds["mn"]
+        # jump k to the smallest remaining degree (same output as k += 1
+        # through empty rounds — KCore_new_v3 pays a full round per k)
+        k = min_deg if k is None else max(k, min_deg)
+
+        peeled = deg.where(F.col("deg") <= k).select("id").persist()
+        n_peeled = peeled.count()
+        stats.supersteps += 1
+        if n_peeled == 0:
+            k += 1
+            peeled.unpersist()
+            continue
+
+        peeled.select("id", F.lit(k).cast("long").alias("coreness")).write.mode(
+            "append"
+        ).parquet(out_dir)
+        wrote_any = True
+
+        # degree decrements: every edge from a peeled vertex to a survivor
+        # (reference: torch.unique(return_counts) — KCore_new_v3.py:68-69)
+        decr = (
+            edges.join(peeled.withColumnRenamed("id", "src"), "src", "left_semi")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.count(F.lit(1)).alias("dec"))
+        )
+        new_deg = (
+            deg.join(peeled, "id", "left_anti")
+            .join(decr, "id", "left")
+            .select(
+                "id", (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0))).alias("deg")
+            )
+        )
+        new_deg = truncate_lineage(new_deg)  # cut plan + stats growth per round
+        alive = new_deg.count()
+        release_state(deg)
+        deg = new_deg
+        peeled.unpersist()
+
+        # two-phase shrink: re-materialize the survivor edge set once the
+        # alive set halves (generalizes PKC frac=0.98 / KCore_big phase 2)
+        if alive > 0 and alive < last_shrink * shrink_factor:
+            survivors = deg.select("id")
+            new_edges = (
+                edges.join(survivors.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(survivors.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            )
+            new_edges = truncate_lineage(new_edges)
+            release_state(edges)
+            edges = new_edges
+            last_shrink = alive
+
+    if wrote_any:
+        coreness = spark.read.parquet(out_dir).persist()
+    else:
+        coreness = spark.createDataFrame([], "id long, coreness long")
+    coreness.count()
+    edges.unpersist()
+    deg.unpersist()
+    stats.wall_secs = time.time() - t0
+    stats.converged = True
+    return coreness, stats

@@ -1,0 +1,75 @@
+"""Synchronous label propagation — reference D11
+(``TCR/src/demo/LabelPropagation.py:17-106``).
+
+Semantics: label₀ = own id; each round every vertex adopts the most frequent
+label among its neighbors.  The reference breaks frequency ties randomly
+(``LabelPropagation.py:33-41``); we use a deterministic tie-break — smallest
+label wins — and document the deviation (SURVEY.md §7 "LPA determinism").
+Default round count mirrors the reference CLI default (``maxsteps``).
+
+Spark formulation (the engine's one true window-function operator, B12):
+``msgs.groupBy(id, label).count()`` then ``row_number`` over
+``(count desc, label asc)`` per vertex.  The groupBy gets map-side partial
+aggregation, which absorbs in-degree hubs; the window partitions by vertex
+(uniform cardinality), so no salting is required here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tcr_kcore_spark.graph import LinkGraph
+from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
+
+
+def lpa_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA round over symmetrized ``edges``;
+    ``labels`` = (id, label)."""
+    msgs = edges.join(
+        labels.select(F.col("id").alias("src"), F.col("label").alias("nbr_label")),
+        "src",
+    ).select(F.col("dst").alias("id"), F.col("nbr_label").alias("label"))
+    counts = msgs.groupBy("id", "label").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
+    best = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("id", F.col("label").alias("new_label"))
+    )
+    # vertices with no neighbors keep their label
+    return labels.join(best, "id", "left").select(
+        "id", F.coalesce(F.col("new_label"), F.col("label")).alias("label")
+    )
+
+
+def label_propagation(
+    graph: LinkGraph,
+    rounds: int = 3,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
+    resume: bool = False,
+) -> tuple[DataFrame, SuperstepStats]:
+    """Returns ((id, label), stats) after a fixed number of synchronous
+    rounds (the reference runs a fixed ``maxsteps``, default 3 from CLI /
+    50 in-code — ``LabelPropagation.py:18,79``)."""
+    g = graph.undirected_view()
+    edges = g.edges.select("src", "dst").persist()
+    edges.count()
+    init = g.vertices().select("id", F.col("id").alias("label"))
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        return lpa_round(edges, state)
+
+    state, stats = run_supersteps(
+        init,
+        step,
+        converged=None,
+        max_iter=rounds,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        name="lpa",
+        resume=resume,
+    )
+    edges.unpersist()
+    return state.select("id", "label"), stats

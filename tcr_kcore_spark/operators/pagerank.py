@@ -1,0 +1,133 @@
+"""PageRank — reference semantics D1/D2/D3 (SURVEY.md §2.D).
+
+Exact semantics reproduced:
+
+- init ``r = 1`` for every vertex (NOT 1/N) — ``TCR/src/demo/PageRank.py:27``;
+- update ``r' = 0.15 + 0.85 · Σ_{u∈in(v)} r_u / outdeg_u`` —
+  ``TCR/src/demo/PageRank.py:57``;
+- optional dangling mass: ``r' = 0.15 + 0.85 · (Σ ... + Σ_{d: outdeg_d=0} r_d / N)``
+  — the SpMV variant ``TCR/src/demo/PageRankMatrix.py:50-61``;
+- convergence: ``max_v |r'_v − r_v| ≤ tol`` (reference ``UPDATE_THRESHOLD``,
+  ``PageRank.py:29``; we default tol=1e-6 per BASELINE.json).
+
+Spark-first design:
+
+- the per-edge message weight ``damping / outdeg`` is **constant-folded into
+  the edge table once** (the reference folds 0.85 into 1/outdeg the same way,
+  ``TCR/single/PR.py:30``), so each superstep is exactly one join + one
+  aggregation + one outer join:
+  ``edges_w ⋈ state on src → groupBy(dst).sum(w·r) → vertices ⟕ msgs``;
+- the groupBy(dst) aggregation gets map-side partial aggregation from
+  Tungsten automatically, which is what neutralizes in-degree hubs (the
+  reference needs Gemini/LPT partitioners for the same skew, SURVEY §2.C);
+- sums accumulate in float64 (Spark `double`) so allclose(1e-6) holds even
+  though the reference accumulates float32;
+- the state is double-buffered + checkpointed by the superstep driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tcr_kcore_spark.graph import LinkGraph
+from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
+
+
+def pagerank(
+    graph: LinkGraph,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    dangling: bool = False,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
+    resume: bool = False,
+) -> tuple[DataFrame, SuperstepStats]:
+    """Returns ((id, rank), stats).  ``dangling=True`` selects the
+    PageRankMatrix semantics (D2); ``False`` the plain GAS demo (D1)."""
+    spark = graph.edges.sparkSession
+    verts = graph.vertices().persist()
+    n = verts.count()
+
+    out_deg = graph.out_degrees()
+    # Constant-fold damping/outdeg into the cached edge table (D3 trick).
+    edges_w = (
+        graph.edges.select("src", "dst")
+        .join(out_deg.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst", (F.lit(damping) / F.col("out_deg")).alias("w"))
+        .persist()
+    )
+    edges_w.count()
+
+    if dangling:
+        dangles = verts.join(
+            out_deg.select(F.col("id")), "id", "left_anti"
+        ).persist()  # vertices with no out-edges
+
+    init = verts.select("id", F.lit(1.0).alias("rank"))
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        msgs = (
+            edges_w.join(state.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("w") * F.col("rank")).alias("msg"))
+        )
+        base = F.lit(1.0 - damping)
+        if dangling:
+            mass_row = (
+                state.join(dangles, "id", "left_semi").agg(F.sum("rank")).first()[0]
+            )
+            mass = (mass_row or 0.0) / n
+            # msg already carries the damping factor (folded into edge w);
+            # only the dangling mass still needs damping applied
+            new_rank = (
+                base
+                + F.coalesce(F.col("msg"), F.lit(0.0))
+                + F.lit(damping * mass)
+            )
+        else:
+            new_rank = base + F.coalesce(F.col("msg"), F.lit(0.0))
+        return (
+            verts.join(msgs, "id", "left")
+            .select("id", new_rank.alias("new_rank"))
+            .join(state, "id")
+            .select(
+                "id",
+                F.col("new_rank").alias("rank"),
+                F.abs(F.col("new_rank") - F.col("rank")).alias("delta"),
+            )
+        )
+
+    def converged(prev: DataFrame, new: DataFrame, i: int) -> bool:
+        return (new.agg(F.max("delta")).first()[0] or 0.0) <= tol
+
+    state, stats = run_supersteps(
+        init,
+        step,
+        converged,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        name="pagerank",
+        resume=resume,
+    )
+    result = state.select("id", "rank")
+    edges_w.unpersist()
+    verts.unpersist()
+    if dangling:
+        dangles.unpersist()
+    return result, stats
+
+
+def pagerank_fixed_iters(
+    graph: LinkGraph, iters: int, damping: float = 0.85, dangling: bool = False
+) -> DataFrame:
+    """Fixed-iteration PageRank (reference demos run a fixed ``num_iter``,
+    e.g. 50 at ``TCR/src/demo/PageRank.py:24``).  Used by the oracle-checked
+    query entries where an unrolled-SQL oracle must run the identical number
+    of rounds."""
+    result, _ = pagerank(
+        graph, damping=damping, tol=-1.0, max_iter=iters, dangling=dangling
+    )
+    return result

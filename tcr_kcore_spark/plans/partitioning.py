@@ -1,0 +1,107 @@
+"""Explicit partitioning and skew control.
+
+Reference counterparts (SURVEY.md §2.C): LPT degree-balanced partitions
+(``TCR/src/framework/partition/EdgePartition.py``, ``GeminiPartition.py``)
+and cumulative-degree searchsorted range splits
+(``TCR/src/demo/KCore_big.py:80-137``).  In Spark the same goals are:
+
+- ``degree_range_bounds`` / ``repartition_by_degree_mass``: split the vertex
+  axis where cumulative degree mass crosses ``i·E/P`` — so each partition
+  of the edge table holds ~equal EDGES even under Zipf-skewed degrees (a
+  plain hash partition holds equal *keys*, not equal edges);
+- ``salted_sum`` / ``salted_count``: two-level aggregation for aggregations
+  whose per-key fan-in is hub-skewed AND whose aggregate is algebraic —
+  split each key into ``n_salt`` sub-keys, partially aggregate, then merge.
+  (groupBy(sum/count) already gets map-side partial aggregation from
+  Tungsten, which handles most skew; explicit salting is for when the
+  *reduce side* must stay balanced, e.g. collect_list-ish aggregations or
+  extreme 10^9-degree hubs at 100 TB.)
+
+These helpers keep algorithm results identical — tests assert equality of
+salted vs unsalted aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_range_bounds(degrees: DataFrame, n_parts: int, id_col: str = "id", deg_col: str = "degree") -> list[int]:
+    """Vertex-id split points so each range holds ~E/n_parts edge mass.
+
+    Driver-side planning (like the reference's searchsorted over cumulative
+    degrees, ``KCore_big.py:80-137``) computed with approx quantiles over
+    the *edge-mass distribution*: weight each vertex by its degree by using
+    percentile_approx on the id weighted by degree.
+    """
+    # expand-free weighted quantiles: percentile_approx(id, p, accuracy)
+    # over rows repeated `degree` times ≈ percentile of edge mass.  Spark's
+    # percentile_approx has no frequency arg on DataFrames < 3.4; use
+    # explode-free trick: percentile(id, probs, degree) via expr supports a
+    # frequency column.
+    probs = [i / n_parts for i in range(1, n_parts)]
+    row = degrees.selectExpr(
+        f"percentile({id_col}, array({','.join(str(p) for p in probs)}), {deg_col}) as bounds"
+    ).first()
+    return [int(b) for b in row["bounds"]]
+
+
+def repartition_by_degree_mass(
+    edges: DataFrame, degrees: DataFrame, n_parts: int, key: str = "src"
+) -> DataFrame:
+    """Range-partition the edge table on ``key`` using degree-mass bounds —
+    each partition receives ~equal edges."""
+    bounds = degree_range_bounds(degrees, n_parts)
+    if not bounds:
+        return edges.repartition(n_parts, key)
+    # bucket = searchsorted(bounds, key); then partition by bucket
+    bucket = F.lit(0)
+    for i, b in enumerate(bounds):
+        bucket = bucket + F.when(F.col(key) > b, 1).otherwise(0)
+    return (
+        edges.withColumn("__bucket", bucket)
+        .repartition(n_parts, "__bucket")
+        .drop("__bucket")
+    )
+
+
+def _salted_two_level(
+    df: DataFrame,
+    key_cols: list[str],
+    n_salt: int,
+    partial_aggs: list[Column],
+    final_aggs: list[Column],
+) -> DataFrame:
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt)).cast("int"),
+    )
+    partial = salted.groupBy(*key_cols, "__salt").agg(*partial_aggs)
+    return partial.groupBy(*key_cols).agg(*final_aggs)
+
+
+def salted_sum(
+    df: DataFrame, key_cols: list[str], value_col: str, out_col: str, n_salt: int = 16
+) -> DataFrame:
+    """Two-level sum: identical result to ``groupBy(keys).sum(value)``."""
+    return _salted_two_level(
+        df,
+        key_cols,
+        n_salt,
+        [F.sum(value_col).alias("__p")],
+        [F.sum("__p").alias(out_col)],
+    )
+
+
+def salted_count(
+    df: DataFrame, key_cols: list[str], out_col: str, n_salt: int = 16
+) -> DataFrame:
+    """Two-level count: identical result to ``groupBy(keys).count()``."""
+    return _salted_two_level(
+        df,
+        key_cols,
+        n_salt,
+        [F.count(F.lit(1)).alias("__p")],
+        [F.sum("__p").alias(out_col)],
+    )

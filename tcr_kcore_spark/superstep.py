@@ -1,0 +1,211 @@
+"""Superstep driver: the engine's execution loop.
+
+Reference mapping: ``GASProgram.compute`` + ``SimpleStrategy.compute``
+(``TCR/src/framework/strategy/SimpleStrategy.py:43-77``) run gather → sum →
+apply → scatter until the activation mask empties.  Here each superstep is a
+function ``state -> state`` built from DataFrame ops; the driver loop
+
+- persists the new state and unpersists the previous one (double-buffering,
+  the Spark analog of the reference's mask swap at ``SimpleStrategy.py:55-63``),
+- truncates lineage every ``checkpoint_every`` supersteps by writing the
+  state to Parquet and re-reading it (the "hard reset" pattern — without it
+  the logical plan grows linearly with supersteps and planning time blows up),
+- writes a JSON manifest per checkpoint with the step number, row count,
+  per-partition row/byte metrics and the input fingerprint, enabling
+  mid-iteration resume (north_rule requirement; generalizes the reference's
+  deleted-bitmap checkpoint, ``TCR/src/demo/KCore_big.py:252-259``).
+
+Convergence is a driver-side action per superstep (``max(delta)`` or a
+frontier count) — the analog of the reference's all-reduce termination vote
+(``KCore_big.py:227-243``), global by construction in Spark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and return an equivalent DataFrame whose logical
+    plan is a bare scan — the load-bearing primitive of the whole engine.
+
+    Two separate growth modes must be cut every superstep:
+
+    1. *plan growth*: step functions reference the previous state twice, so
+       the analyzed plan doubles per iteration (persist() truncates
+       execution, not analysis);
+    2. *statistics growth*: ``localCheckpoint`` snapshots the child plan's
+       estimated ``sizeInBytes`` into the new ``LogicalRDD``
+       (``originStats``), and join size estimation multiplies child sizes —
+       so the BigInt stat's bit-length doubles per superstep and Catalyst
+       ends up spending minutes in ``BigInteger.multiply`` (measured: 0.3s
+       → 70s per superstep by iteration ~20).
+
+    Fix: localCheckpoint (materializes to cached blocks, cuts the plan),
+    then re-wrap the checkpointed RDD in a fresh LogicalRDD *without* the
+    inherited stats via ``internalCreateDataFrame`` (the same internal
+    constructor PySpark's Arrow path uses).  Falls back to a parquet
+    round-trip if the internal API is unavailable.
+    """
+    ck = df.localCheckpoint(eager=True)
+    spark = ck.sparkSession
+    try:
+        jdf = ck._jdf
+        jrdd = jdf.queryExecution().toRdd()
+        jschema = jdf.schema()
+        new_jdf = spark._jsparkSession.internalCreateDataFrame(jrdd, jschema, False)
+        out = DataFrame(new_jdf, spark)
+    except Exception:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="lineage_trunc_")
+        ck.write.mode("overwrite").parquet(path)
+        ck.unpersist()
+        return spark.read.parquet(path)
+    out._ckpt_source = ck  # keep a handle so release_state can free blocks
+    return out
+
+
+def release_state(df: DataFrame) -> None:
+    """Free the cached blocks behind a truncate_lineage() result."""
+    src = getattr(df, "_ckpt_source", None)
+    try:
+        (src if src is not None else df).unpersist()
+    except Exception:
+        pass
+
+
+@dataclass
+class SuperstepStats:
+    """Telemetry for one run — feeds bench.py's supersteps/sec metric."""
+
+    supersteps: int = 0
+    wall_secs: float = 0.0
+    converged: bool = False
+    checkpoints: int = 0
+    resumed_from: int | None = None
+    history: list = field(default_factory=list)
+
+    @property
+    def supersteps_per_sec(self) -> float:
+        return self.supersteps / self.wall_secs if self.wall_secs else 0.0
+
+
+def _partition_metrics(df: DataFrame) -> list[dict]:
+    """Per-partition row counts (the manifest's lineage metrics)."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .collect()
+    )
+    return [{"pid": r["pid"], "rows": r["rows"]} for r in rows]
+
+
+def _write_checkpoint(
+    state: DataFrame, ckpt_dir: str, step: int, name: str, fingerprint: str
+) -> DataFrame:
+    """Write state to Parquet + manifest, return the re-read DataFrame
+    (lineage truncated)."""
+    path = os.path.join(ckpt_dir, f"step={step:06d}")
+    state.write.mode("overwrite").parquet(path)
+    spark = state.sparkSession
+    reread = spark.read.parquet(path)
+    manifest = {
+        "name": name,
+        "step": step,
+        "rows": reread.count(),
+        "schema": reread.schema.simpleString(),
+        "partitions": _partition_metrics(reread),
+        "input_fingerprint": fingerprint,
+        "wall_time": time.time(),
+        "path": path,
+    }
+    with open(os.path.join(ckpt_dir, f"manifest_{step:06d}.json"), "w") as f:
+        json.dump(manifest, f)
+    with open(os.path.join(ckpt_dir, "LATEST"), "w") as f:
+        f.write(str(step))
+    return reread
+
+
+def latest_checkpoint(ckpt_dir: str) -> tuple[int, str] | None:
+    """Return (step, parquet_path) of the newest complete checkpoint."""
+    latest = os.path.join(ckpt_dir, "LATEST")
+    if not os.path.exists(latest):
+        return None
+    with open(latest) as f:
+        step = int(f.read().strip())
+    manifest_path = os.path.join(ckpt_dir, f"manifest_{step:06d}.json")
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    return step, manifest["path"]
+
+
+def run_supersteps(
+    state: DataFrame,
+    step_fn: Callable[[DataFrame, int], DataFrame],
+    converged: Callable[[DataFrame, DataFrame, int], bool] | None = None,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
+    name: str = "superstep",
+    fingerprint: str = "",
+    resume: bool = False,
+    stats: SuperstepStats | None = None,
+) -> tuple[DataFrame, SuperstepStats]:
+    """Run ``state = step_fn(state, i)`` until ``converged`` or ``max_iter``.
+
+    ``converged(prev, new, i)`` runs AFTER the new state is materialized; it
+    may run actions (e.g. ``agg(max(delta))``).  When ``checkpoint_dir`` is
+    set, state is checkpointed every N steps with a manifest; ``resume=True``
+    restarts from the latest manifest instead of ``state``.
+    """
+    st = stats or SuperstepStats()
+    start_step = 0
+    spark = state.sparkSession
+
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+    if resume and checkpoint_dir:
+        found = latest_checkpoint(checkpoint_dir)
+        if found is not None:
+            start_step, path = found
+            state = spark.read.parquet(path)
+            st.resumed_from = start_step
+
+    t0 = time.time()
+    # truncate_lineage EVERY superstep — see its docstring for why both the
+    # plan and the carried statistics must be cut.
+    state = truncate_lineage(state)
+    i = start_step
+    while i < max_iter:
+        t_step = time.time()
+        new_state = truncate_lineage(step_fn(state, i))
+        i += 1
+        st.supersteps += 1
+        done = bool(converged(state, new_state, i)) if converged else False
+        st.history.append(round(time.time() - t_step, 3))
+        release_state(state)
+        state = new_state
+        if checkpoint_dir and (done or i % checkpoint_every == 0):
+            reread = _write_checkpoint(state, checkpoint_dir, i, name, fingerprint)
+            release_state(state)
+            state = truncate_lineage(reread)
+            st.checkpoints += 1
+        if done:
+            st.converged = True
+            break
+    st.wall_secs += time.time() - t0
+    return state, st
+
+
+def clear_checkpoints(ckpt_dir: str) -> None:
+    if os.path.isdir(ckpt_dir):
+        shutil.rmtree(ckpt_dir)

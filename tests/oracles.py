@@ -1,0 +1,219 @@
+"""NumPy reference oracles (FIXTURES.md F5) — independent serial
+implementations of each algorithm's exact semantics, used to verify the
+Spark operators.  No NetworkX, no GPU, no reference code: written from the
+published algorithm definitions (Batagelj–Zaveršnik peel for coreness, power
+iteration with the reference's r₀=1 un-normalized PageRank formula, plain
+BFS/union-find/etc.).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _adj(edges: list[tuple[int, int]], symmetric: bool) -> dict[int, set[int]]:
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set())
+        if symmetric:
+            adj[d].add(s)
+            adj.setdefault(s, set())
+    return adj
+
+
+def coreness(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Exact k-core via iterative peeling (Batagelj–Zaveršnik semantics):
+    repeatedly remove all vertices of degree ≤ k at the smallest remaining
+    degree k; removed vertices get coreness k."""
+    adj = _adj(edges, symmetric=True)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core: dict[int, int] = {}
+    alive = set(adj)
+    k = 0
+    while alive:
+        mn = min(deg[v] for v in alive)
+        k = max(k, mn)
+        peel = [v for v in alive if deg[v] <= k]
+        while peel:
+            v = peel.pop()
+            if v not in alive:
+                continue
+            core[v] = k
+            alive.discard(v)
+            for u in adj[v]:
+                if u in alive:
+                    deg[u] -= 1
+                    if deg[u] <= k:
+                        peel.append(u)
+    return core
+
+
+def pagerank(
+    edges: list[tuple[int, int]],
+    iters: int | None = None,
+    tol: float = 1e-6,
+    damping: float = 0.85,
+    dangling: bool = False,
+    max_iter: int = 1000,
+) -> dict[int, float]:
+    """Reference D1/D2 formula: r0=1; r' = 0.15 + 0.85·Σ r_u/outdeg_u
+    (+ damping·Σ r_dead/N when dangling=True).  Edge set semantics match the
+    engine's ingest: dedup + self-loop removal."""
+    edges = sorted({(s, d) for s, d in edges if s != d})
+    verts = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    r = np.ones(n)
+    it = 0
+    while True:
+        msg = np.zeros(n)
+        for s, d in edges:
+            msg[idx[d]] += r[idx[s]] / out[idx[s]]
+        if dangling:
+            mass = r[out == 0].sum() / n
+            new = (1 - damping) + damping * (msg + mass)
+        else:
+            new = (1 - damping) + damping * msg
+        delta = np.abs(new - r).max()
+        r = new
+        it += 1
+        if iters is not None:
+            if it >= iters:
+                break
+        elif delta <= tol or it >= max_iter:
+            break
+    return {v: float(r[idx[v]]) for v in verts}
+
+
+def components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find; labels normalized to min member id."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        for v in (s, d):
+            parent.setdefault(v, v)
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    return {v: find(v) for v in parent}
+
+
+def bfs(edges: list[tuple[int, int]], source: int, symmetric: bool = True) -> dict[int, int | None]:
+    adj = _adj(edges, symmetric=symmetric)
+    dist = {v: None for v in adj}
+    if source in dist:
+        dist[source] = 0
+        frontier = [source]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = []
+            for v in frontier:
+                for u in adj[v]:
+                    if dist[u] is None:
+                        dist[u] = d
+                        nxt.append(u)
+            frontier = nxt
+    return dist
+
+
+def sssp(
+    edges: list[tuple[int, int, float]], source: int
+) -> dict[int, float | None]:
+    """Bellman-Ford on the directed weighted edge list."""
+    verts = {v for e in edges for v in e[:2]}
+    dist = {v: None for v in verts}
+    if source not in verts:
+        return dist
+    dist[source] = 0.0
+    for _ in range(len(verts)):
+        changed = False
+        for s, d, w in edges:
+            if dist[s] is not None and (dist[d] is None or dist[s] + w < dist[d]):
+                dist[d] = dist[s] + w
+                changed = True
+        if not changed:
+            break
+    return dist
+
+
+def lpa(edges: list[tuple[int, int]], rounds: int) -> dict[int, int]:
+    """Synchronous LPA, deterministic tie-break: (count desc, label asc)."""
+    adj = _adj(edges, symmetric=True)
+    label = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v in adj:
+            if not adj[v]:
+                new[v] = label[v]
+                continue
+            counts: dict[int, int] = {}
+            for u in adj[v]:
+                counts[label[u]] = counts.get(label[u], 0) + 1
+            new[v] = min(counts, key=lambda l: (-counts[l], l))
+        label = new
+    return label
+
+
+def triangles(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Per-vertex triangle counts on the undirected simple graph."""
+    adj = _adj(edges, symmetric=True)
+    tri = {v: 0 for v in adj}
+    for v in adj:
+        for u in adj[v]:
+            if u <= v:
+                continue
+            common = adj[v] & adj[u]
+            for w in common:
+                if w > u:
+                    tri[v] += 1
+                    tri[u] += 1
+                    tri[w] += 1
+    return tri
+
+
+def hindex_rounds(edges: list[tuple[int, int]], rounds: int) -> dict[int, int]:
+    """Fixed rounds of the h-operator (est0 = degree)."""
+    adj = _adj(edges, symmetric=True)
+    est = {v: len(ns) for v, ns in adj.items()}
+    for _ in range(rounds):
+        new = {}
+        for v in adj:
+            vals = sorted((est[u] for u in adj[v]), reverse=True)
+            h = 0
+            for i, x in enumerate(vals, start=1):
+                h = max(h, min(x, i))
+            new[v] = min(est[v], h)
+        est = new
+    return est
+
+
+# -- deterministic synthetic graphs (FIXTURES.md F4) ------------------------
+
+
+def er_graph(n: int = 300, avg_deg: int = 8, seed: int = 42) -> list[tuple[int, int]]:
+    rng = np.random.default_rng(seed)
+    m = n * avg_deg // 2
+    src = rng.integers(0, n, size=m)
+    dst = rng.integers(0, n, size=m)
+    return [(int(s), int(d)) for s, d in zip(src, dst) if s != d]
+
+
+def zipf_hub_graph(n: int = 800, m: int = 4000, seed: int = 42) -> list[tuple[int, int]]:
+    """Skewed graph: destinations Zipf-distributed → a few heavy hubs."""
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, size=m)
+    ranks = rng.zipf(1.3, size=m) % n
+    return [(int(s), int(d)) for s, d in zip(src, ranks) if s != d]

@@ -1,0 +1,57 @@
+from __future__ import annotations
+
+import pytest
+
+from tcr_kcore_spark.graph import LinkGraph
+from tcr_kcore_spark.operators import kcore, kcore_hindex_rounds
+from tests import oracles
+from tests.conftest import edges_df
+
+
+@pytest.mark.parametrize("mode", ["hindex", "peel"])
+def test_triangle_tail(spark, mode):
+    # FIXTURES F3.1: coreness [2,2,2,1]
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    result, stats = kcore(g, mode=mode)
+    got = {r["id"]: r["coreness"] for r in result.collect()}
+    assert got == {0: 2, 1: 2, 2: 2, 3: 1}
+
+
+@pytest.mark.parametrize("mode", ["hindex", "peel"])
+def test_star(spark, mode):
+    edges = [(0, i) for i in range(1, 6)]
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    result, _ = kcore(g, mode=mode)
+    got = {r["id"]: r["coreness"] for r in result.collect()}
+    assert got == {v: 1 for v in range(6)}
+
+
+@pytest.mark.parametrize("mode", ["hindex", "peel"])
+def test_er_graph_vs_bz_oracle(spark, mode):
+    edges = oracles.er_graph(n=250, avg_deg=8)
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    result, _ = kcore(g, mode=mode)
+    got = {r["id"]: r["coreness"] for r in result.collect()}
+    want = oracles.coreness(edges)
+    assert got == want
+
+
+@pytest.mark.parametrize("mode", ["hindex", "peel"])
+def test_zipf_hubs(spark, mode):
+    edges = oracles.zipf_hub_graph(n=500, m=2500)
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    result, _ = kcore(g, mode=mode)
+    got = {r["id"]: r["coreness"] for r in result.collect()}
+    want = oracles.coreness(edges)
+    assert got == want
+
+
+def test_hindex_fixed_rounds_matches_oracle(spark):
+    edges = oracles.er_graph(n=150, avg_deg=6, seed=9)
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    for rounds in (1, 3):
+        result = kcore_hindex_rounds(g, rounds)
+        got = {r["id"]: r["coreness"] for r in result.collect()}
+        want = oracles.hindex_rounds(edges, rounds)
+        assert got == want, rounds
