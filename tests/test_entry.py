@@ -1,0 +1,99 @@
+"""Local replica of the driver's correctness gate: run each queries() entry
+through Spark AND its oracle_sql() through DuckDB on the same parquet dir,
+then compare row count, column names and the order-insensitive value
+multiset.  Runs at sf0.001 in pytest (fast); scripts/check_parity.py runs
+the same harness at sf0.01."""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_run(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def normalize(rows, cols):
+    """Sort columns by name, round floats, return sorted tuple list."""
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in idx:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "nan"
+                else:
+                    v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return out
+
+
+def compare_query(spark, name: str, sf_dir: str = SF_DIR):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    sdf = q(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    ddf = duck_run(sql, sf_dir)
+    drows = [tuple(r) for r in ddf.itertuples(index=False)]
+    dcols = list(ddf.columns)
+    assert sorted(scols) == sorted(dcols), (name, scols, dcols)
+    assert len(srows) == len(drows), (name, len(srows), len(drows))
+    a = normalize(srows, scols)
+    b = normalize(drows, dcols)
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mismatches, (name, mismatches[:5], f"{len(mismatches)} mismatched rows")
+
+
+FAST = [
+    "edges_cooccur", "degrees", "doc_sha", "token_stats", "dedup_exact",
+    "events_hourly", "embed_topk", "triangles", "lcc", "kcore_h4",
+]
+ITERATIVE = [
+    "pagerank_i8", "components", "kcore_exact", "kcore_peel",
+    "bfs_from_min", "lpa_r2",
+]
+
+
+@pytest.mark.parametrize("name", FAST)
+def test_parity_fast(spark, name):
+    compare_query(spark, name)
+
+
+@pytest.mark.parametrize("name", ITERATIVE)
+def test_parity_iterative(spark, name):
+    compare_query(spark, name)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["id", "rank", "degree"]
