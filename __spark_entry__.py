@@ -443,3 +443,160 @@ def oracle_sql() -> dict[str, str]:
         "embed_topk": EMBED_TOPK_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
     }
+
+
+# -- dedup / text / similarity queries (training-pipeline operators) ---------
+
+
+def q_jaccard2_pairs(spark, sf_dir):
+    """Exact word-2-gram Jaccard near-duplicate pairs (threshold 0.8) over
+    documents — the exact-verification primitive behind MinHash-LSH.  The
+    driver's documents table has planted near-dups (jaccard ≈ 0.99)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.select(F.col("doc_id").alias("id"), F.explode(grams).alias("g")).distinct()
+    sh = sh.persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "g")
+        .where(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("i").cast("double") / (F.col("sa") + F.col("sb") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.8)
+    )
+
+
+JACCARD2_SQL = (
+    "WITH docs AS MATERIALIZED (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),\n"
+    "sh AS MATERIALIZED (SELECT DISTINCT doc_id AS id, g FROM (SELECT doc_id, "
+    "unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g FROM docs)),\n"
+    "sz AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS s FROM sh GROUP BY id),\n"
+    "inter AS MATERIALIZED (SELECT x.id AS a, y.id AS b, count(*) AS i FROM sh x "
+    "JOIN sh y ON x.g = y.g AND x.id < y.id GROUP BY 1, 2)\n"
+    "SELECT i.a, i.b, round(i.i::DOUBLE / (sa.s + sb.s - i.i), 6) AS jaccard "
+    "FROM inter i JOIN sz sa ON i.a = sa.id JOIN sz sb ON i.b = sb.id "
+    "WHERE round(i.i::DOUBLE / (sa.s + sb.s - i.i), 6) >= 0.8"
+)
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-profile language ID (n-gram heuristic) over documents."""
+    from tcr_kcore_spark.functions.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs)
+
+
+def _lang_id_sql() -> str:
+    from tcr_kcore_spark.functions.text import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    score = {
+        lang: (
+            "CAST(len(list_filter(t, x -> x IN ("
+            + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+            + "))) AS DOUBLE) / greatest(len(t), 1)"
+        )
+        for lang in langs
+    }
+    # argmax via chained CASE over the same stable language order as Spark
+    best, best_score = f"'{langs[0]}'", score[langs[0]]
+    for lang in langs[1:]:
+        cond = f"({score[lang]}) > ({best_score})"
+        best = f"CASE WHEN {cond} THEN '{lang}' ELSE {best} END"
+        best_score = f"CASE WHEN {cond} THEN ({score[lang]}) ELSE ({best_score}) END"
+    return (
+        "WITH docs AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents)\n"
+        f"SELECT doc_id, {best} AS lang_pred, round({best_score}, 6) AS lang_score FROM docs"
+    )
+
+
+# rows-only queries (no SQL oracle: hash-function/ANN/pandas-UDF based, the
+# driver records the weaker check; deterministic regardless)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from tcr_kcore_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.8, n=2)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from tcr_kcore_spark.functions.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+def q_lsh_topk(spark, sf_dir):
+    from tcr_kcore_spark.functions.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where("vec_id < 5")
+    r = lsh_topk(emb, qs, k=3, n_planes=16, bands=8)
+    return r.select("q", "nbr", F.round("sim", 4).alias("sim"))
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing smoke: deterministic fake media table (the sf_dir
+    tables carry no binary media) through the Arrow decode/featurize path."""
+    from tcr_kcore_spark.functions.multimodal import (
+        decode_and_featurize,
+        synth_media_table,
+    )
+
+    media = synth_media_table(spark, n=64)
+    feats = decode_and_featurize(media, fake=True)
+    return feats.select("sample_id", "modality", "n_bytes", "checksum")
+
+
+_EXTRA_QUERIES = {
+    "jaccard2_pairs": q_jaccard2_pairs,
+    "lang_id": q_lang_id,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "lsh_topk": q_lsh_topk,
+    "media_features": q_media_features,
+}
+_EXTRA_ORACLES = {
+    "jaccard2_pairs": JACCARD2_SQL,
+    "lang_id": _lang_id_sql(),
+}
+
+_BASE_QUERIES = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = dict(_BASE_QUERIES())
+    out.update(_EXTRA_QUERIES)
+    return out
+
+
+_BASE_ORACLES = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = dict(_BASE_ORACLES())
+    out.update(_EXTRA_ORACLES)
+    return out

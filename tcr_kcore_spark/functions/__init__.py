@@ -1,0 +1,33 @@
+"""Training-data pipeline functions: dedup, text analytics, similarity
+search, multimodal plumbing."""
+
+from tcr_kcore_spark.functions.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_64,
+    simhash_pairs,
+)
+from tcr_kcore_spark.functions.similarity import cosine_topk, lsh_topk
+from tcr_kcore_spark.functions.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+__all__ = [
+    "exact_duplicates",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash_64",
+    "simhash_pairs",
+    "cosine_topk",
+    "lsh_topk",
+    "fingerprint",
+    "language_id",
+    "quality_score",
+    "token_count",
+]

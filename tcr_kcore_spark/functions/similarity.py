@@ -1,0 +1,121 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: the exact baseline — a (queries × corpus)
+  join with a JVM-side zip_with/aggregate dot product, ranked per query.
+  Right answer at any scale where |queries|·|corpus| is affordable.
+- LSH-bucketed top-k (random hyperplanes): the scale path — b deterministic
+  hyperplane signs bucket the corpus; a query only scores candidates
+  sharing ≥1 band, turning the cross join into a bucket join.  Recall is
+  tunable via (n_planes, bands); exactness is NOT guaranteed (ANN).
+
+Hyperplanes are generated deterministically from a seed with NumPy at plan
+time (driver-side, tiny) and embedded as literal arrays — workers do pure
+column math, no Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cos(qe, ne):
+    dot = F.aggregate(F.zip_with(qe, ne, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    nq = F.sqrt(F.aggregate(qe, F.lit(0.0), lambda a, x: a + x * x))
+    nn = F.sqrt(F.aggregate(ne, F.lit(0.0), lambda a, x: a + x * x))
+    return dot / (nq * nn)
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q, nbr, sim): exact top-k cosine neighbors per query vector.
+    ``queries`` defaults to all vectors (all-pairs top-k)."""
+    corpus = vectors.select(
+        F.col(id_col).alias("nbr"), F.col(vec_col).cast("array<double>").alias("ne")
+    )
+    qs = (queries or vectors).select(
+        F.col(id_col).alias("q"), F.col(vec_col).cast("array<double>").alias("qe")
+    )
+    pairs = qs.crossJoin(corpus).where(F.col("q") != F.col("nbr"))
+    sims = pairs.select("q", "nbr", _cos(F.col("qe"), F.col("ne")).alias("sim"))
+    w = Window.partitionBy("q").orderBy(F.desc("sim"), F.asc("nbr"))
+    return sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def _signature(vec_col, planes: list[list[float]]):
+    """Array of sign bits (0/1) of <v, plane_i> as int column array."""
+    bits = []
+    for p in planes:
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(vec_col, lit, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bits.append(F.when(dot >= 0, 1).otherwise(0))
+    return F.array(*bits)
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q, nbr, sim): approximate top-k via random-hyperplane LSH.
+    Candidates share at least one of ``bands`` sign-bands (n_planes/bands
+    bits each); only candidates are scored."""
+    rows = n_planes // bands
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def band_keys(df, idc):
+        sig = _signature(F.col("v"), planes)
+        d = df.select(
+            F.col(id_col).alias(idc), F.col(vec_col).cast("array<double>").alias("v")
+        ).withColumn("sig", sig)
+        return d.select(
+            idc,
+            "v",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.col("sig")[b * rows + r] for r in range(rows)]
+                            ),
+                            F.lit(b),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "key"),
+        )
+
+    corpus = band_keys(vectors, "nbr").persist()
+    qs = band_keys(queries or vectors, "q")
+    cand = (
+        qs.join(
+            corpus.select("nbr", F.col("v").alias("ne"), "band", "key"),
+            ["band", "key"],
+        )
+        .where(F.col("q") != F.col("nbr"))
+        .select("q", F.col("v").alias("qe"), "nbr", "ne")
+        .dropDuplicates(["q", "nbr"])
+    )
+    sims = cand.select("q", "nbr", _cos(F.col("qe"), F.col("ne")).alias("sim"))
+    w = Window.partitionBy("q").orderBy(F.desc("sim"), F.asc("nbr"))
+    return sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")

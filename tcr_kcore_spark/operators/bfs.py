@@ -35,9 +35,12 @@ def bfs(
     g = graph if (directed is None or directed == graph.directed) else (
         graph.undirected_view() if not directed else graph
     )
-    edges = g.edges.select("src", "dst").persist()
+    edges = g.edges.select("src", "dst").repartition(
+        int(g.edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), "dst"
+    ).persist()
     edges.count()
     verts = g.vertices()
+    bcast = verts.count() <= 2_000_000
 
     # state: (id, dist, frontier) — frontier = reached exactly last step
     init = verts.select(
@@ -48,6 +51,8 @@ def bfs(
 
     def step(state: DataFrame, i: int) -> DataFrame:
         frontier = state.where("frontier").select(F.col("id").alias("src"))
+        if bcast:
+            frontier = F.broadcast(frontier)
         reached = (
             edges.join(frontier, "src", "left_semi")
             .select(F.col("dst").alias("id"))
@@ -55,7 +60,7 @@ def bfs(
             .withColumn("hit", F.lit(True))
         )
         return (
-            state.join(reached, "id", "left")
+            state.join(F.broadcast(reached) if bcast else reached, "id", "left")
             .select(
                 "id",
                 F.coalesce(

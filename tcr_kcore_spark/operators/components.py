@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 from tcr_kcore_spark.graph import LinkGraph
 from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
 
+_BROADCAST_MAX_ROWS = 2_000_000
+
 
 def connected_components(
     graph: LinkGraph,
@@ -51,9 +53,12 @@ def _hashmin(
     checkpoint_every: int,
     resume: bool,
 ) -> tuple[DataFrame, SuperstepStats]:
-    edges = g.edges.select("src", "dst").persist()
+    edges = g.edges.select("src", "dst").repartition(
+        int(g.edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), "dst"
+    ).persist()
     edges.count()
     verts = g.vertices()
+    bcast = verts.count() <= _BROADCAST_MAX_ROWS
     # state: (id, component, changed) — changed doubles as the frontier mask
     init = verts.select("id", F.col("id").alias("component"), F.lit(True).alias("changed"))
 
@@ -61,13 +66,16 @@ def _hashmin(
         frontier = state.where("changed").select(
             F.col("id").alias("src"), "component"
         )
+        if bcast:
+            frontier = F.broadcast(frontier)
         msgs = (
             edges.join(frontier, "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("msg"))
         )
+        msgs_b = F.broadcast(msgs) if bcast else msgs
         return (
-            state.join(msgs, "id", "left")
+            state.join(msgs_b, "id", "left")
             .select(
                 "id",
                 F.least(F.col("component"), F.coalesce(F.col("msg"), F.col("component"))).alias(

@@ -39,8 +39,12 @@ def hits(
         norm = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col)))).first()[0] or 1.0
         return df.withColumn(col, F.col(col) / F.lit(norm))
 
+    bcast = verts.count() <= 2_000_000
+
     def step(state: DataFrame, i: int) -> DataFrame:
         hubs = state.select(F.col("id").alias("src"), "hub")
+        if bcast:
+            hubs = F.broadcast(hubs)
         new_auth = (
             edges.join(hubs, "src")
             .groupBy(F.col("dst").alias("id"))
@@ -51,6 +55,8 @@ def hits(
         )
         new_auth = _l2_normalize(new_auth, "auth").persist()
         auths = new_auth.select(F.col("id").alias("dst"), F.col("auth").alias("a"))
+        if bcast:
+            auths = F.broadcast(auths)
         new_hub = (
             edges.join(auths, "dst")
             .groupBy(F.col("src").alias("id"))

@@ -55,11 +55,14 @@ def kcore(
     checkpoint_every: int = 20,
     resume: bool = False,
     shrink_factor: float = 0.5,
+    truncate_every: int = 1,
 ) -> tuple[DataFrame, SuperstepStats]:
     """Returns ((id, coreness), stats) on the symmetrized graph."""
     g = graph.undirected_view()
     if mode == "hindex":
-        return _hindex(g, max_iter, checkpoint_dir, checkpoint_every, resume)
+        return _hindex(
+            g, max_iter, checkpoint_dir, checkpoint_every, resume, truncate_every
+        )
     if mode == "peel":
         return _peel(g, max_iter, shrink_factor)
     raise ValueError(f"unknown mode {mode!r}")
@@ -70,14 +73,39 @@ def kcore(
 # ---------------------------------------------------------------------------
 
 
-def _hindex_round(edges: DataFrame, est: DataFrame) -> DataFrame:
+_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _hindex_round(
+    edges: DataFrame,
+    est: DataFrame,
+    changed: DataFrame | None = None,
+    bcast: bool = True,
+) -> DataFrame:
     """One h-operator application: est'_v = h-index of {est_u : u ∈ N(v)}.
 
     h-index via a window: sort neighbor estimates descending per vertex,
     h = max(min(est_i, i)).  All JVM-side (whole-stage codegen), no Python.
+
+    ``changed`` (ids whose est dropped last round) restricts the recompute
+    set: est is monotone non-increasing, so est'_v can only drop if some
+    neighbor's est dropped — only neighbors of changed vertices need their
+    window recomputed.  Late rounds touch a tiny fraction of the graph
+    (the same delta-pruning the reference's activation mask provides,
+    ``GASProgram.py:142-149``).
     """
-    msgs = edges.join(
-        est.select(F.col("id").alias("src"), F.col("est").alias("nbr_est")), "src"
+    maybe_b = F.broadcast if bcast else (lambda df: df)
+    e = edges
+    if changed is not None:
+        targets = (
+            e.join(maybe_b(changed.select(F.col("id").alias("src"))), "src", "left_semi")
+            .select("dst")
+            .distinct()
+        )
+        e = e.join(maybe_b(targets), "dst", "left_semi")
+    msgs = e.join(
+        maybe_b(est.select(F.col("id").alias("src"), F.col("est").alias("nbr_est"))),
+        "src",
     ).select(F.col("dst").alias("id"), "nbr_est")
     w = Window.partitionBy("id").orderBy(F.desc("nbr_est"))
     h = (
@@ -88,7 +116,7 @@ def _hindex_round(edges: DataFrame, est: DataFrame) -> DataFrame:
     )
     # est is monotone non-increasing; vertices absent from msgs keep est
     return (
-        est.join(h, "id", "left")
+        est.join(maybe_b(h), "id", "left")
         .select(
             "id",
             F.least(F.col("est"), F.coalesce(F.col("h"), F.col("est"))).alias("new_est"),
@@ -108,15 +136,23 @@ def _hindex(
     checkpoint_dir: str | None,
     checkpoint_every: int,
     resume: bool,
+    truncate_every: int = 1,
 ) -> tuple[DataFrame, SuperstepStats]:
-    edges = g.edges.select("src", "dst").persist()
-    edges.count()
+    spark = g.edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # dst-partitioned once: broadcast joins preserve it, so the per-round
+    # window (partitionBy dst) and aggregation need no exchange
+    edges = g.edges.select("src", "dst").repartition(npart, "dst").persist()
+    n_edges = edges.count()
+    n_verts = g.vertices().count()
+    bcast = n_verts <= _BROADCAST_MAX_ROWS
     init = g.degrees().select(
         "id", F.col("degree").cast("long").alias("est"), F.lit(True).alias("changed")
     )
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        return _hindex_round(edges, state.select("id", "est"))
+        changed = state.where("changed").select("id") if i > 0 else None
+        return _hindex_round(edges, state.select("id", "est"), changed, bcast)
 
     def converged(prev: DataFrame, new: DataFrame, i: int) -> bool:
         return new.where("changed").limit(1).count() == 0
@@ -130,6 +166,7 @@ def _hindex(
         checkpoint_every=checkpoint_every,
         name="kcore_hindex",
         resume=resume,
+        truncate_every=truncate_every,
     )
     out = state.select("id", F.col("est").alias("coreness"))
     edges.unpersist()
@@ -141,7 +178,9 @@ def kcore_hindex_rounds(graph: LinkGraph, rounds: int) -> DataFrame:
     oracle-checked query entries where the SQL oracle unrolls the identical
     rounds.  At convergence (rounds ≥ needed) equals exact coreness."""
     g = graph.undirected_view()
-    edges = g.edges.select("src", "dst").persist()
+    spark = g.edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    edges = g.edges.select("src", "dst").repartition(npart, "dst").persist()
     est = g.degrees().select("id", F.col("degree").cast("long").alias("est"))
     for i in range(rounds):
         new_est = truncate_lineage(_hindex_round(edges, est).select("id", "est"))

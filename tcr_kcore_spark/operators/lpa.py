@@ -23,11 +23,14 @@ from tcr_kcore_spark.graph import LinkGraph
 from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
 
 
-def lpa_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def lpa_round(edges: DataFrame, labels: DataFrame, bcast: bool = True) -> DataFrame:
     """One synchronous LPA round over symmetrized ``edges``;
     ``labels`` = (id, label)."""
+    lab = labels.select(F.col("id").alias("src"), F.col("label").alias("nbr_label"))
+    if bcast:
+        lab = F.broadcast(lab)
     msgs = edges.join(
-        labels.select(F.col("id").alias("src"), F.col("label").alias("nbr_label")),
+        lab,
         "src",
     ).select(F.col("dst").alias("id"), F.col("nbr_label").alias("label"))
     counts = msgs.groupBy("id", "label").agg(F.count(F.lit(1)).alias("cnt"))
@@ -38,6 +41,8 @@ def lpa_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
         .select("id", F.col("label").alias("new_label"))
     )
     # vertices with no neighbors keep their label
+    if bcast:
+        best = F.broadcast(best)
     return labels.join(best, "id", "left").select(
         "id", F.coalesce(F.col("new_label"), F.col("label")).alias("label")
     )
@@ -54,12 +59,16 @@ def label_propagation(
     rounds (the reference runs a fixed ``maxsteps``, default 3 from CLI /
     50 in-code — ``LabelPropagation.py:18,79``)."""
     g = graph.undirected_view()
-    edges = g.edges.select("src", "dst").persist()
+    edges = g.edges.select("src", "dst").repartition(
+        int(g.edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), "dst"
+    ).persist()
     edges.count()
-    init = g.vertices().select("id", F.col("id").alias("label"))
+    verts = g.vertices()
+    bcast = verts.count() <= 2_000_000
+    init = verts.select("id", F.col("id").alias("label"))
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        return lpa_round(edges, state)
+        return lpa_round(edges, state, bcast)
 
     state, stats = run_supersteps(
         init,

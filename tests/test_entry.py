@@ -97,3 +97,22 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns == ["id", "rank", "degree"]
+
+
+NEW_ORACLE = ["jaccard2_pairs", "lang_id"]
+ROWS_ONLY = ["minhash_pairs", "simhash_pairs", "lsh_topk", "media_features"]
+
+
+@pytest.mark.parametrize("name", NEW_ORACLE)
+def test_parity_functions(spark, name):
+    compare_query(spark, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = entrymod.queries()[name](spark, SF_DIR)
+    rows = df.collect()
+    assert rows is not None
+    # deterministic across two runs
+    again = entrymod.queries()[name](spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -1,0 +1,60 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tcr_kcore_spark.functions.multimodal import (
+    decode_and_featurize,
+    frame_sample_plan,
+    synth_media_table,
+)
+from tcr_kcore_spark.streaming.events import (
+    hourly_counts_batch,
+    run_stream_once,
+)
+
+
+def test_multimodal_decode_plumbing(spark):
+    media = synth_media_table(spark, n=30)
+    feats = decode_and_featurize(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    by_id = {r["sample_id"]: r for r in rows}
+    assert all(len(r["feat"]) == 8 for r in rows)
+    assert all(r["n_bytes"] > 0 for r in rows)
+    # deterministic: same input → same checksum
+    again = {r["sample_id"]: r["checksum"] for r in decode_and_featurize(media, fake=True).collect()}
+    assert again == {k: v["checksum"] for k, v in by_id.items()}
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    media = synth_media_table(spark, n=4)
+    with pytest.raises(Exception) as exc:
+        decode_and_featurize(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or "codecs" in str(exc.value)
+
+
+def test_frame_sample_plan(spark):
+    media = synth_media_table(spark, n=12)
+    plan = frame_sample_plan(media, every_n=10)
+    rows = plan.collect()
+    vids = {r["sample_id"] for r in media.where("modality = 'video'").collect()}
+    assert {r["sample_id"] for r in rows} == vids
+    # 30 frames, every 10th → indices 0, 10, 20
+    per = {}
+    for r in rows:
+        per.setdefault(r["sample_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 10, 20] for v in per.values())
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "events_stream")
+    events.write.parquet(src)
+
+    streamed = run_stream_once(spark, src, query_name="t_events_agg")
+    batch = hourly_counts_batch(spark.read.parquet(src))
+    a = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b
+    assert len(a) > 0
