@@ -571,7 +571,48 @@ def q_media_features(spark, sf_dir):
     return feats.select("sample_id", "modality", "n_bytes", "checksum")
 
 
+def q_corpus_edges(spark, sf_dir):
+    """North_rule ingest pipeline end-to-end: deterministic synthetic corpus
+    (repo, path, commit, lang, content) -> vectorized import extraction ->
+    dense-id edge table.  Independent of sf_dir (the corpus is seeded)."""
+    from tcr_kcore_spark.sources import corpus_to_edges, synth_corpus
+
+    corpus = synth_corpus(spark, "tiny")
+    edges, _ = corpus_to_edges(corpus)
+    return edges
+
+
+def q_corpus_invariant(spark, sf_dir):
+    """Single row (n_rows, sha_violations): the per-row sha256(content)
+    equality invariant over the ingest (north_rule); violations must be 0."""
+    from tcr_kcore_spark.sources import sha256_invariant_check, synth_corpus
+    from tcr_kcore_spark.sources.ingest import file_table
+
+    corpus = synth_corpus(spark, "tiny")
+    bad = sha256_invariant_check(corpus, file_table(corpus))
+    n = corpus.count()
+    return spark.createDataFrame(
+        [(n, bad)], "n_rows long, sha_violations long"
+    )
+
+
+def q_corpus_pagerank(spark, sf_dir):
+    """PageRank over the corpus-derived file-dependency graph — the
+    flagship north_star query ("rank of every file in the corpus graph")."""
+    from tcr_kcore_spark.operators.pagerank import pagerank_fixed_iters
+    from tcr_kcore_spark.sources import corpus_to_edges, synth_corpus
+
+    corpus = synth_corpus(spark, "tiny")
+    edges, _ = corpus_to_edges(corpus)
+    g = LinkGraph(edges, directed=True)
+    r = pagerank_fixed_iters(g, 10)
+    return r.select("id", F.round("rank", 6).alias("rank"))
+
+
 _EXTRA_QUERIES = {
+    "corpus_edges": q_corpus_edges,
+    "corpus_invariant": q_corpus_invariant,
+    "corpus_pagerank": q_corpus_pagerank,
     "jaccard2_pairs": q_jaccard2_pairs,
     "lang_id": q_lang_id,
     "minhash_pairs": q_minhash_pairs,

@@ -36,8 +36,14 @@ def hits(
     )
 
     def _l2_normalize(df: DataFrame, col: str) -> DataFrame:
+        # persist only for the two passes (norm action + downstream read),
+        # then unpersist so supersteps don't accumulate cached blocks; the
+        # one recompute after unpersist is a cheap V-row join
+        df = df.persist()
         norm = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col)))).first()[0] or 1.0
-        return df.withColumn(col, F.col(col) / F.lit(norm))
+        out = df.withColumn(col, F.col(col) / F.lit(norm))
+        df.unpersist()
+        return out
 
     bcast = verts.count() <= 2_000_000
 
@@ -53,7 +59,7 @@ def hits(
         new_auth = verts.join(new_auth, "id", "left").select(
             "id", F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth")
         )
-        new_auth = _l2_normalize(new_auth, "auth").persist()
+        new_auth = _l2_normalize(new_auth, "auth")
         auths = new_auth.select(F.col("id").alias("dst"), F.col("auth").alias("a"))
         if bcast:
             auths = F.broadcast(auths)

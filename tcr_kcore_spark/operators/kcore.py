@@ -50,7 +50,8 @@ from tcr_kcore_spark.superstep import (
 def kcore(
     graph: LinkGraph,
     mode: str = "hindex",
-    max_iter: int = 500,
+    max_iter: int = 100_000,  # peel rounds scale with graph depth (a path
+    # graph peels 2 vertices/round); this is a runaway bound, not a budget
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 20,
     resume: bool = False,

@@ -55,13 +55,15 @@ def repartition_by_degree_mass(
     bounds = degree_range_bounds(degrees, n_parts)
     if not bounds:
         return edges.repartition(n_parts, key)
-    # bucket = searchsorted(bounds, key); then partition by bucket
+    # bucket = searchsorted(bounds, key); range-partition on the bucket so
+    # each bucket lands in its own partition (hash-partitioning n values
+    # into n partitions collides and merges buckets)
     bucket = F.lit(0)
     for i, b in enumerate(bounds):
         bucket = bucket + F.when(F.col(key) > b, 1).otherwise(0)
     return (
         edges.withColumn("__bucket", bucket)
-        .repartition(n_parts, "__bucket")
+        .repartitionByRange(n_parts, "__bucket")
         .drop("__bucket")
     )
 

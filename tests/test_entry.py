@@ -100,7 +100,8 @@ def test_entry_smoke(spark):
 
 
 NEW_ORACLE = ["jaccard2_pairs", "lang_id"]
-ROWS_ONLY = ["minhash_pairs", "simhash_pairs", "lsh_topk", "media_features"]
+ROWS_ONLY = ["minhash_pairs", "simhash_pairs", "lsh_topk", "media_features",
+             "corpus_edges", "corpus_invariant", "corpus_pagerank"]
 
 
 @pytest.mark.parametrize("name", NEW_ORACLE)
