@@ -11,9 +11,15 @@ sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 names = sys.argv[2:] or list(entrymod.queries())
 spark = get_spark(cores=16, shuffle_partitions=16)
 failed = []
+oracles = entrymod.oracle_sql()
 for name in names:
     t = time.time()
     try:
+        if name not in oracles:
+            # rows-only query (driver runs the weaker check): smoke-run it
+            n = entrymod.queries()[name](spark, sf_dir).count()
+            print(f"OK   {name:16s} {time.time()-t:6.1f}s (rows-only, {n} rows)", flush=True)
+            continue
         compare_query(spark, name, sf_dir)
         print(f"OK   {name:16s} {time.time()-t:6.1f}s", flush=True)
     except AssertionError as ex:
