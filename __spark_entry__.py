@@ -144,13 +144,21 @@ def _lpa_sql(rounds: int) -> str:
     )
 
 
+# Depth bound for the recursive-CTE BFS oracle.  The UNION dedup is on
+# (id, d) pairs, so cycles keep generating higher-d rows forever without a
+# cap; the cap must exceed the graph's eccentricity from min(src) or the
+# oracle silently truncates distances.  tests/test_entry.py::
+# test_bfs_depth_cap_headroom asserts eccentricity ≤ BFS_MAX_DEPTH/2 at both
+# test scale factors, so the bound is validated, not assumed.
+BFS_MAX_DEPTH = 40
+
 BFS_SQL = (
     "WITH RECURSIVE " + EDGES_CTE + ",\n"
     "walk(id, d) AS ("
     "SELECT (SELECT min(src) FROM edges), 0 "
     "UNION "
     "SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON w.id = e.src "
-    "WHERE w.d < 12)\n"
+    f"WHERE w.d < {BFS_MAX_DEPTH})\n"
     "SELECT id, CAST(min(d) AS BIGINT) AS distance FROM walk GROUP BY id"
 )
 

@@ -72,8 +72,15 @@ class LinkGraph:
             if set(e.columns) == set(EDGE_COLS):
                 e = e.distinct()
             else:
-                # keep one attribute row per (src, dst), deterministically
-                e = e.dropDuplicates(["src", "dst"])
+                # keep one attribute row per (src, dst) with an explicit,
+                # deterministic tie-break: the per-column MINIMUM (for the
+                # usual single `weight` column this is min-weight, which is
+                # also what SSSP semantics want for parallel edges).
+                # dropDuplicates would be partition-order dependent.
+                extra = [c for c in e.columns if c not in EDGE_COLS]
+                e = e.groupBy("src", "dst").agg(
+                    *[F.min(c).alias(c) for c in extra]
+                )
         return LinkGraph(edges=e, directed=directed)
 
     def undirected_view(self) -> "LinkGraph":
@@ -169,16 +176,19 @@ class LinkGraph:
         per-partition counts after a range partition and add driver-side
         offsets (the distributed zipWithIndex pattern).
         """
-        verts = self.vertices().repartitionByRange(  # sorted ranges
-            max(self.edges.rdd.getNumPartitions(), 1), "id"
-        )
+        spark = self.edges.sparkSession
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # range-partition THEN sort within partitions: mapInPandas sees each
+        # partition as a stream of Arrow batches (~10k rows each), so the
+        # index must be carried ACROSS batches — a per-batch sort + per-batch
+        # range() silently produces duplicate ids beyond one batch/partition.
+        verts = self.vertices().repartitionByRange(nparts, "id").sortWithinPartitions("id")
 
         def _index_part(pit):
-            import pandas as pd
-
+            start = 0  # running offset across the partition's Arrow batches
             for pdf in pit:
-                pdf = pdf.sort_values("id")
-                pdf["pos"] = range(len(pdf))
+                pdf["pos"] = range(start, start + len(pdf))
+                start += len(pdf)
                 yield pdf
 
         counted = verts.mapInPandas(_index_part, "id long, pos long")

@@ -49,13 +49,21 @@ def file_ids(files: DataFrame) -> DataFrame:
     No global single-partition window — survives 10^12 files.
     """
     verts = files.select("repo", "path").distinct()
-    nparts = max(verts.rdd.getNumPartitions(), 1)
-    ranged = verts.repartitionByRange(nparts, "repo", "path")
+    spark = files.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # sortWithinPartitions: mapInPandas streams each partition as ~10k-row
+    # Arrow batches, so ordering and indexing must span batches — the index
+    # carries a running offset (a per-batch sort + range() restarts at 0
+    # every batch and collides ids for partitions holding >1 batch).
+    ranged = verts.repartitionByRange(nparts, "repo", "path").sortWithinPartitions(
+        "repo", "path"
+    )
 
     def _index(pit):
+        start = 0  # running offset across the partition's Arrow batches
         for pdf in pit:
-            pdf = pdf.sort_values(["repo", "path"]).reset_index(drop=True)
-            pdf["pos"] = range(len(pdf))
+            pdf["pos"] = range(start, start + len(pdf))
+            start += len(pdf)
             yield pdf
 
     counted = ranged.mapInPandas(_index, "repo string, path string, pos long").persist()

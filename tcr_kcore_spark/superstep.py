@@ -22,6 +22,7 @@ frontier count) — the analog of the reference's all-reduce termination vote
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import shutil
@@ -31,6 +32,19 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# scratch dirs created by the parquet fallback of truncate_lineage; freed in
+# release_state once the consumer is done, and swept at exit as a backstop
+_SCRATCH_DIRS: set[str] = set()
+
+
+def _sweep_scratch() -> None:
+    for d in list(_SCRATCH_DIRS):
+        shutil.rmtree(d, ignore_errors=True)
+        _SCRATCH_DIRS.discard(d)
+
+
+atexit.register(_sweep_scratch)
 
 
 def truncate_lineage(df: DataFrame) -> DataFrame:
@@ -67,20 +81,28 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
         import tempfile
 
         path = tempfile.mkdtemp(prefix="lineage_trunc_")
+        _SCRATCH_DIRS.add(path)
         ck.write.mode("overwrite").parquet(path)
         ck.unpersist()
-        return spark.read.parquet(path)
+        out = spark.read.parquet(path)
+        out._scratch_dir = path  # release_state deletes it
+        return out
     out._ckpt_source = ck  # keep a handle so release_state can free blocks
     return out
 
 
 def release_state(df: DataFrame) -> None:
-    """Free the cached blocks behind a truncate_lineage() result."""
+    """Free the cached blocks (or scratch parquet) behind a
+    truncate_lineage() result."""
     src = getattr(df, "_ckpt_source", None)
     try:
         (src if src is not None else df).unpersist()
     except Exception:
         pass
+    scratch = getattr(df, "_scratch_dir", None)
+    if scratch:
+        shutil.rmtree(scratch, ignore_errors=True)
+        _SCRATCH_DIRS.discard(scratch)
 
 
 @dataclass

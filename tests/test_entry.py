@@ -92,6 +92,20 @@ def test_parity_iterative(spark, name):
     compare_query(spark, name)
 
 
+def test_bfs_depth_cap_headroom(spark):
+    """The recursive-CTE BFS oracle truncates at BFS_MAX_DEPTH; assert the
+    benchmark graph's eccentricity from min(src) leaves 2x headroom so the
+    oracle bound is validated rather than assumed (ADVICE r1)."""
+    from pyspark.sql import functions as F
+
+    q = entrymod.queries()["bfs_from_min"]
+    ecc = q(spark, SF_DIR).agg(F.max("distance")).first()[0]
+    assert ecc is not None and ecc <= entrymod.BFS_MAX_DEPTH / 2, (
+        ecc,
+        entrymod.BFS_MAX_DEPTH,
+    )
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
