@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tcr_kcore_spark.graph import LinkGraph
+from tcr_kcore_spark.plans.partitioning import broadcast_max_rows, plan_superstep_edges
 from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
 
 
@@ -35,12 +36,10 @@ def bfs(
     g = graph if (directed is None or directed == graph.directed) else (
         graph.undirected_view() if not directed else graph
     )
-    edges = g.edges.select("src", "dst").repartition(
-        int(g.edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), "dst"
-    ).persist()
-    edges.count()
     verts = g.vertices()
-    bcast = verts.count() <= 2_000_000
+    bcast = verts.count() <= broadcast_max_rows()
+    edges = plan_superstep_edges(g.edges.select("src", "dst"), bcast).persist()
+    edges.count()
 
     # state: (id, dist, frontier) — frontier = reached exactly last step
     init = verts.select(

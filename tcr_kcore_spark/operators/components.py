@@ -24,9 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tcr_kcore_spark.graph import LinkGraph
+from tcr_kcore_spark.plans.partitioning import broadcast_max_rows, plan_superstep_edges
 from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
-
-_BROADCAST_MAX_ROWS = 2_000_000
 
 
 def connected_components(
@@ -53,12 +52,10 @@ def _hashmin(
     checkpoint_every: int,
     resume: bool,
 ) -> tuple[DataFrame, SuperstepStats]:
-    edges = g.edges.select("src", "dst").repartition(
-        int(g.edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), "dst"
-    ).persist()
-    edges.count()
     verts = g.vertices()
-    bcast = verts.count() <= _BROADCAST_MAX_ROWS
+    bcast = verts.count() <= broadcast_max_rows()
+    edges = plan_superstep_edges(g.edges.select("src", "dst"), bcast).persist()
+    edges.count()
     # state: (id, component, changed) — changed doubles as the frontier mask
     init = verts.select("id", F.col("id").alias("component"), F.lit(True).alias("changed"))
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tcr_kcore_spark.graph import LinkGraph
+from tcr_kcore_spark.plans.partitioning import broadcast_max_rows
 from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
 
 
@@ -28,9 +29,23 @@ def hits(
     resume: bool = False,
 ) -> tuple[DataFrame, SuperstepStats]:
     """Returns ((id, hub, auth), stats) on the directed graph."""
-    edges = graph.edges.select("src", "dst").persist()
-    edges.count()
+    spark = graph.edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     verts = graph.vertices()
+    bcast = verts.count() <= broadcast_max_rows()
+    # HITS gathers over BOTH orientations per superstep (auth from in-edges,
+    # hub from out-edges) — the reference keeps CSR *and* CSC for the same
+    # reason (``TCR/src/type/CSRCGraph.py:14-56``).  Under the shuffle
+    # regime cache each orientation partitioned on its join key so neither
+    # pass ever re-exchanges the E-sized table; under broadcast one copy
+    # suffices (the state joins are map-side).
+    edges = graph.edges.select("src", "dst").repartition(npart, "src").persist()
+    edges.count()
+    if bcast:
+        edges_by_dst = edges
+    else:
+        edges_by_dst = edges.repartition(npart, "dst").persist()
+        edges_by_dst.count()
     init = verts.select(
         "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"), F.lit(1.0).alias("delta")
     )
@@ -44,8 +59,6 @@ def hits(
         out = df.withColumn(col, F.col(col) / F.lit(norm))
         df.unpersist()
         return out
-
-    bcast = verts.count() <= 2_000_000
 
     def step(state: DataFrame, i: int) -> DataFrame:
         hubs = state.select(F.col("id").alias("src"), "hub")
@@ -64,7 +77,7 @@ def hits(
         if bcast:
             auths = F.broadcast(auths)
         new_hub = (
-            edges.join(auths, "dst")
+            edges_by_dst.join(auths, "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("a").alias("hub"))
         )
@@ -102,4 +115,6 @@ def hits(
     )
     out = state.select("id", "hub", "auth")
     edges.unpersist()
+    if edges_by_dst is not edges:
+        edges_by_dst.unpersist()
     return out, stats

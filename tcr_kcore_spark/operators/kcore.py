@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tcr_kcore_spark.graph import LinkGraph
+from tcr_kcore_spark.plans.partitioning import broadcast_max_rows, plan_superstep_edges
 from tcr_kcore_spark.superstep import (
     SuperstepStats,
     release_state,
@@ -74,9 +75,6 @@ def kcore(
 # ---------------------------------------------------------------------------
 
 
-_BROADCAST_MAX_ROWS = 2_000_000
-
-
 def _hindex_round(
     edges: DataFrame,
     est: DataFrame,
@@ -85,13 +83,21 @@ def _hindex_round(
 ) -> DataFrame:
     """One h-operator application: est'_v = h-index of {est_u : u ∈ N(v)}.
 
-    h-index via a window: sort neighbor estimates descending per vertex,
-    h = max(min(est_i, i)).  All JVM-side (whole-stage codegen), no Python.
+    Hub-safe formulation: instead of row_number-sorting every vertex's full
+    neighbor list (one window partition per vertex with fan-in = degree — a
+    10^8-degree hub serializes one task sorting 10^8 rows), aggregate to
+    DISTINCT estimate values first.  ``groupBy(id, nbr_est).count()`` gets
+    Tungsten map-side partial aggregation (each map task emits at most one
+    row per (id, value) — this is what absorbs the hub, exactly like the
+    reference's degree-balanced partitioners, ``GeminiPartition.py:11-39``),
+    then a running sum over the few distinct values per vertex gives
+    ``s_v = |{u ∈ N : est_u ≥ v}|`` and the h-index identity
+    ``h = max over distinct v of min(v, s_v)``.  All JVM-side, no Python.
 
     ``changed`` (ids whose est dropped last round) restricts the recompute
     set: est is monotone non-increasing, so est'_v can only drop if some
     neighbor's est dropped — only neighbors of changed vertices need their
-    window recomputed.  Late rounds touch a tiny fraction of the graph
+    h recomputed.  Late rounds touch a tiny fraction of the graph
     (the same delta-pruning the reference's activation mask provides,
     ``GASProgram.py:142-149``).
     """
@@ -108,10 +114,15 @@ def _hindex_round(
         maybe_b(est.select(F.col("id").alias("src"), F.col("est").alias("nbr_est"))),
         "src",
     ).select(F.col("dst").alias("id"), "nbr_est")
-    w = Window.partitionBy("id").orderBy(F.desc("nbr_est"))
+    counts = msgs.groupBy("id", "nbr_est").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("id")
+        .orderBy(F.desc("nbr_est"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     h = (
-        msgs.withColumn("rn", F.row_number().over(w))
-        .select("id", F.least(F.col("nbr_est"), F.col("rn")).alias("cap"))
+        counts.withColumn("s", F.sum("cnt").over(w))
+        .select("id", F.least(F.col("nbr_est"), F.col("s")).alias("cap"))
         .groupBy("id")
         .agg(F.max("cap").alias("h"))
     )
@@ -139,14 +150,12 @@ def _hindex(
     resume: bool,
     truncate_every: int = 1,
 ) -> tuple[DataFrame, SuperstepStats]:
-    spark = g.edges.sparkSession
-    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # dst-partitioned once: broadcast joins preserve it, so the per-round
-    # window (partitionBy dst) and aggregation need no exchange
-    edges = g.edges.select("src", "dst").repartition(npart, "dst").persist()
-    n_edges = edges.count()
     n_verts = g.vertices().count()
-    bcast = n_verts <= _BROADCAST_MAX_ROWS
+    bcast = n_verts <= broadcast_max_rows()
+    # partitioned once for the whole loop (dst under broadcast — zero
+    # per-round exchanges; src under shuffle — only V-row state exchanges)
+    edges = plan_superstep_edges(g.edges.select("src", "dst"), bcast).persist()
+    n_edges = edges.count()
     init = g.degrees().select(
         "id", F.col("degree").cast("long").alias("est"), F.lit(True).alias("changed")
     )
@@ -179,12 +188,13 @@ def kcore_hindex_rounds(graph: LinkGraph, rounds: int) -> DataFrame:
     oracle-checked query entries where the SQL oracle unrolls the identical
     rounds.  At convergence (rounds ≥ needed) equals exact coreness."""
     g = graph.undirected_view()
-    spark = g.edges.sparkSession
-    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    edges = g.edges.select("src", "dst").repartition(npart, "dst").persist()
+    bcast = g.vertices().count() <= broadcast_max_rows()
+    edges = plan_superstep_edges(g.edges.select("src", "dst"), bcast).persist()
     est = g.degrees().select("id", F.col("degree").cast("long").alias("est"))
     for i in range(rounds):
-        new_est = truncate_lineage(_hindex_round(edges, est).select("id", "est"))
+        new_est = truncate_lineage(
+            _hindex_round(edges, est, bcast=bcast).select("id", "est")
+        )
         release_state(est)
         est = new_est
     out = est.select("id", F.col("est").alias("coreness"))

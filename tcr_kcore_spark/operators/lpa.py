@@ -7,19 +7,20 @@ label among its neighbors.  The reference breaks frequency ties randomly
 label wins — and document the deviation (SURVEY.md §7 "LPA determinism").
 Default round count mirrors the reference CLI default (``maxsteps``).
 
-Spark formulation (the engine's one true window-function operator, B12):
-``msgs.groupBy(id, label).count()`` then ``row_number`` over
-``(count desc, label asc)`` per vertex.  The groupBy gets map-side partial
-aggregation, which absorbs in-degree hubs; the window partitions by vertex
-(uniform cardinality), so no salting is required here.
+Spark formulation (reference B12): ``msgs.groupBy(id, label).count()`` then
+a second hash aggregation ``max(struct(cnt, -label))`` per vertex — the
+mode with the deterministic (count desc, label asc) tie-break expressed as
+two map-side-combinable aggregations, no window.  Both levels absorb
+in-degree hubs through Tungsten partial aggregation.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tcr_kcore_spark.graph import LinkGraph
+from tcr_kcore_spark.plans.partitioning import broadcast_max_rows, plan_superstep_edges
 from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
 
 
@@ -34,11 +35,14 @@ def lpa_round(edges: DataFrame, labels: DataFrame, bcast: bool = True) -> DataFr
         "src",
     ).select(F.col("dst").alias("id"), F.col("nbr_label").alias("label"))
     counts = msgs.groupBy("id", "label").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
+    # mode with deterministic tie-break (count desc, label asc) as ONE hash
+    # aggregation: max of struct(cnt, -label) — map-side combinable, so a
+    # hub's label votes partially aggregate on the map side instead of
+    # funneling its whole distinct-label set through one window partition
     best = (
-        counts.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select("id", F.col("label").alias("new_label"))
+        counts.groupBy("id")
+        .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m"))
+        .select("id", (-F.col("m.neg")).alias("new_label"))
     )
     # vertices with no neighbors keep their label
     if bcast:
@@ -59,12 +63,10 @@ def label_propagation(
     rounds (the reference runs a fixed ``maxsteps``, default 3 from CLI /
     50 in-code — ``LabelPropagation.py:18,79``)."""
     g = graph.undirected_view()
-    edges = g.edges.select("src", "dst").repartition(
-        int(g.edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), "dst"
-    ).persist()
-    edges.count()
     verts = g.vertices()
-    bcast = verts.count() <= 2_000_000
+    bcast = verts.count() <= broadcast_max_rows()
+    edges = plan_superstep_edges(g.edges.select("src", "dst"), bcast).persist()
+    edges.count()
     init = verts.select("id", F.col("id").alias("label"))
 
     def step(state: DataFrame, i: int) -> DataFrame:

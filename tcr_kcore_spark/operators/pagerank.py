@@ -31,11 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tcr_kcore_spark.graph import LinkGraph
+from tcr_kcore_spark.plans.partitioning import broadcast_max_rows, plan_superstep_edges
 from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
-
-# states/frontiers up to this many rows are broadcast in superstep joins
-# (one row ≈ 16-24 bytes here → well under the 64 MB broadcast budget)
-_BROADCAST_MAX_ROWS = 2_000_000
 
 
 def pagerank(
@@ -61,20 +58,22 @@ def pagerank(
     verts = graph.vertices().persist()
     n = verts.count()
 
+    # state has one row per vertex: when it fits a broadcast (the usual
+    # case below ~10^6-10^7 vertices), the message join is map-side; above
+    # the threshold the state shuffle-joins against src-partitioned edges
+    # (see plan_superstep_edges — exchange ∝ V per superstep, never ∝ E).
+    bcast = n <= broadcast_max_rows()
+
     out_deg = graph.out_degrees()
-    # Constant-fold damping/outdeg into the cached edge table (D3 trick),
-    # and hash-partition it by dst ONCE: the per-superstep broadcast join
-    # preserves this partitioning, so the groupBy(dst) aggregation needs NO
-    # exchange — a converged PageRank run does exactly one edge shuffle
-    # total, here at build time.
-    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    edges_w = (
+    # Constant-fold damping/outdeg into the cached edge table (D3 trick)
+    # and hash-partition it ONCE for the whole superstep loop — a converged
+    # PageRank run does exactly one edge shuffle total, here at build time.
+    edges_w = plan_superstep_edges(
         graph.edges.select("src", "dst")
         .join(out_deg.withColumnRenamed("id", "src"), "src")
-        .select("src", "dst", (F.lit(damping) / F.col("out_deg")).alias("w"))
-        .repartition(npart, "dst")
-        .persist()
-    )
+        .select("src", "dst", (F.lit(damping) / F.col("out_deg")).alias("w")),
+        bcast,
+    ).persist()
     edges_w.count()
 
     if dangling:
@@ -83,13 +82,6 @@ def pagerank(
         ).persist()  # vertices with no out-edges
 
     init = verts.select("id", F.lit(1.0).alias("rank"))
-
-    # state has one row per vertex: when it fits a broadcast (the usual case
-    # below ~10^7 vertices), the message join is map-side and the cached
-    # edge table is never reshuffled — the groupBy(dst) becomes the ONLY
-    # shuffle per superstep.  Above the threshold both sides shuffle-join
-    # (at 10^12 vertices the state can't broadcast).
-    bcast = n <= _BROADCAST_MAX_ROWS
 
     def step(state: DataFrame, i: int) -> DataFrame:
         s = state.withColumnRenamed("id", "src")

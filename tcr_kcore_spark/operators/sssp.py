@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tcr_kcore_spark.graph import LinkGraph
+from tcr_kcore_spark.plans.partitioning import broadcast_max_rows, plan_superstep_edges
 from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
 
 
@@ -33,12 +34,10 @@ def sssp(
         )
     else:
         edges = graph.edges.select(*cols, F.lit(1.0).alias("w"))
-    edges = edges.repartition(
-        int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), "dst"
-    ).persist()
-    edges.count()
     verts = graph.vertices()
-    bcast = verts.count() <= 2_000_000
+    bcast = verts.count() <= broadcast_max_rows()
+    edges = plan_superstep_edges(edges, bcast).persist()
+    edges.count()
 
     init = verts.select(
         "id",

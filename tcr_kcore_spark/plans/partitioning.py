@@ -23,8 +23,44 @@ salted vs unsalted aggregation.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def broadcast_max_rows() -> int:
+    """Vertex-state row count up to which superstep joins broadcast the
+    state.  Override with $SPARK_GRAFT_BROADCAST_MAX_ROWS (set 0 to force
+    the shuffle regime — used by tests and the scaling bench to prove the
+    non-broadcast plan)."""
+    return int(os.environ.get("SPARK_GRAFT_BROADCAST_MAX_ROWS", "2000000"))
+
+
+def plan_superstep_edges(edges: DataFrame, bcast: bool, npart: int | None = None) -> DataFrame:
+    """Hash-partition the cached edge table ONCE for the superstep loop so
+    that NO per-superstep exchange is ever proportional to E.
+
+    - broadcast regime (V-row state fits a broadcast): partition by ``dst``.
+      The per-superstep state join is map-side (broadcast), so the dst
+      partitioning survives it and the groupBy(dst) aggregation needs no
+      exchange at all — zero exchanges per superstep.
+    - shuffle regime (V too large to broadcast — the 10^12-file scale):
+      partition by ``src``.  Each superstep the V-row state shuffles to
+      hash(src) to MEET the cached edges (the edges themselves are never
+      re-exchanged), and the groupBy(dst) exchanges only map-side-combined
+      messages.  Exchange volume per superstep is ∝ V, never ∝ E — the
+      analog of the reference exchanging only vertex state per iteration
+      (``MultiGPUStrategyByNCCL.py:76-82``), while round 1 re-shuffled the
+      whole E-sized edge table every superstep in this regime.
+
+    ``npart`` must equal spark.sql.shuffle.partitions (the default) so the
+    join-side requirement matches the cached partitioning exactly.
+    """
+    spark = edges.sparkSession
+    if npart is None:
+        npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return edges.repartition(npart, "dst" if bcast else "src")
 
 
 def degree_range_bounds(degrees: DataFrame, n_parts: int, id_col: str = "id", deg_col: str = "degree") -> list[int]:
