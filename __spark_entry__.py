@@ -38,9 +38,15 @@ from tcr_kcore_spark.operators import (
     local_clustering_coefficient,
     pagerank,
 )
+from tcr_kcore_spark.operators import hits as hits_op
+from tcr_kcore_spark.operators import louvain_phase1, sssp
 from tcr_kcore_spark.operators.pagerank import pagerank_fixed_iters
 from tcr_kcore_spark.operators.triangles import triangles_per_vertex
-from tcr_kcore_spark.sources.relational import cooccurrence_edges, load_table
+from tcr_kcore_spark.sources.relational import (
+    cooccurrence_edges,
+    load_table,
+    order_part_edges,
+)
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB)
@@ -65,6 +71,24 @@ CC_ROUNDS = 10
 KCORE_ROUNDS = 24
 PR_ITERS = 8
 LPA_ROUNDS = 2
+HITS_ITERS = 4
+SSSP_ROUNDS = 16  # ≥ weighted-path hop diameter at both test SFs; Bellman-
+# Ford round-i values are exact min-over-≤i-hop-paths on BOTH sides, so
+# parity holds even short of the fixpoint
+PR_DANGLING_ITERS = 6
+
+# directed order→part graph (parts offset by 1e9 → every part is dangling)
+DEDGES_CTE = (
+    "dedges AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS src, "
+    "CAST(l_partkey AS BIGINT) + 1000000000 AS dst FROM lineitem)"
+)
+DVERTS_CTE = (
+    "dverts AS MATERIALIZED (SELECT src AS id FROM dedges UNION SELECT dst FROM dedges)"
+)
+DDEG_CTE = (
+    "ddeg AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS BIGINT) AS od "
+    "FROM dedges GROUP BY src)"
+)
 
 
 def _pagerank_sql(iters: int) -> str:
@@ -119,6 +143,104 @@ def _hindex_sql(rounds: int) -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, CAST(est AS BIGINT) AS coreness FROM e{rounds}"
+    )
+
+
+def _hits_sql(iters: int) -> str:
+    """Unrolled HITS on the order→part graph, step order identical to the
+    engine (auth from current hubs → L2-normalize → hub from NEW auths →
+    L2-normalize; ``TCR/src/demo/HITS.py:14-82``)."""
+    ctes = [
+        DEDGES_CTE,
+        DVERTS_CTE,
+        "h0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM dverts)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"ar{i} AS MATERIALIZED (SELECT v.id, coalesce(s.s, 0.0) AS auth "
+            f"FROM dverts v LEFT JOIN (SELECT e.dst AS id, sum(p.hub) AS s "
+            f"FROM dedges e JOIN h{i-1} p ON e.src = p.id GROUP BY e.dst) s "
+            f"ON v.id = s.id)"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT id, auth / "
+            f"(SELECT sqrt(sum(auth*auth)) FROM ar{i}) AS auth FROM ar{i})"
+        )
+        ctes.append(
+            f"hr{i} AS MATERIALIZED (SELECT v.id, coalesce(s.s, 0.0) AS hub "
+            f"FROM dverts v LEFT JOIN (SELECT e.src AS id, sum(a.auth) AS s "
+            f"FROM dedges e JOIN a{i} a ON e.dst = a.id GROUP BY e.src) s "
+            f"ON v.id = s.id)"
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT id, hub / "
+            f"(SELECT sqrt(sum(hub*hub)) FROM hr{i}) AS hub FROM hr{i})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT h.id, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth "
+        f"FROM h{iters} h JOIN a{iters} a ON h.id = a.id"
+    )
+
+
+def _sssp_sql(rounds: int) -> str:
+    """Unrolled Bellman-Ford from min(src) on the co-occurrence graph with
+    the deterministic weight 1 + (src+dst) % 7."""
+    ctes = [
+        EDGES_CTE,
+        VERTS_CTE,
+        "wedges AS MATERIALIZED (SELECT src, dst, "
+        "CAST(1 + (src + dst) % 7 AS DOUBLE) AS w FROM edges)",
+        "d0 AS MATERIALIZED (SELECT id, CASE WHEN id = (SELECT min(src) FROM edges) "
+        "THEN CAST(0.0 AS DOUBLE) END AS dist FROM verts)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"sm{i} AS MATERIALIZED (SELECT e.dst AS id, min(p.dist + e.w) AS md "
+            f"FROM wedges e JOIN d{i-1} p ON e.src = p.id "
+            f"WHERE p.dist IS NOT NULL GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT p.id, CASE WHEN p.dist IS NULL THEN m.md "
+            f"WHEN m.md IS NULL THEN p.dist ELSE least(p.dist, m.md) END AS dist "
+            f"FROM d{i-1} p LEFT JOIN sm{i} m ON p.id = m.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(dist, 6) AS distance FROM d{rounds} "
+        "WHERE dist IS NOT NULL"
+    )
+
+
+def _pagerank_dangling_sql(iters: int) -> str:
+    """Unrolled D2 PageRank (PageRankMatrix semantics): per-step dangling
+    mass Σ r_dead / N folded in under damping."""
+    ctes = [
+        DEDGES_CTE,
+        DVERTS_CTE,
+        DDEG_CTE,
+        "nv AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM dverts)",
+        "r0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM dverts)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"dm{i} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) / "
+            f"(SELECT n FROM nv) AS mass FROM r{i-1} r "
+            f"LEFT JOIN ddeg d ON r.id = d.id WHERE d.id IS NULL)"
+        )
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank / d.od) AS s "
+            f"FROM dedges e JOIN r{i-1} r ON e.src = r.id "
+            f"JOIN ddeg d ON e.src = d.id GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT v.id, 0.15 + 0.85 * (coalesce(m.s, 0.0) "
+            f"+ (SELECT mass FROM dm{i})) AS rank "
+            f"FROM dverts v LEFT JOIN m{i} m ON v.id = m.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(rank, 6) AS rank FROM r{iters}"
     )
 
 
@@ -231,6 +353,52 @@ def q_bfs(spark, sf_dir):
     source = g.edges.agg(F.min("src")).first()[0]
     r, _ = bfs(g, source=int(source))
     return r.where(F.col("distance").isNotNull())
+
+
+def q_hits(spark, sf_dir):
+    """Fixed-iteration HITS (D12) on the directed order→part graph."""
+    g = LinkGraph(order_part_edges(spark, sf_dir), directed=True)
+    r, _ = hits_op(g, max_iter=HITS_ITERS, tol=-1.0)
+    return r.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
+def q_sssp(spark, sf_dir):
+    """Bellman-Ford SSSP (D9) from min(src) with deterministic weights
+    1 + (src+dst) % 7 on the (symmetric) co-occurrence graph."""
+    e = cooccurrence_edges(spark, sf_dir).select(
+        "src",
+        "dst",
+        (F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(7)))
+        .cast("double")
+        .alias("weight"),
+    )
+    g = LinkGraph(e, directed=False)  # already symmetric, deduped, loop-free
+    source = e.agg(F.min("src")).first()[0]
+    r, _ = sssp(g, source=int(source), max_iter=SSSP_ROUNDS)
+    return r.where(F.col("distance").isNotNull()).select(
+        "id", F.round("distance", 6).alias("distance")
+    )
+
+
+def q_pagerank_dangling(spark, sf_dir):
+    """D2 PageRank with per-step dangling mass (PageRankMatrix.py:50-61) on
+    the order→part graph, where every part vertex is dangling."""
+    g = LinkGraph(order_part_edges(spark, sf_dir), directed=True)
+    r = pagerank_fixed_iters(g, PR_DANGLING_ITERS, dangling=True)
+    return r.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_louvain(spark, sf_dir):
+    """Louvain phase 1 (D14), 2 synchronous rounds.  Gate 1e-9 instead of
+    the reference's absolute 0.012: gains scale ~1/m, so at benchmark m the
+    0.012 gate no-ops; 1e-9 keeps determinism (nonzero gains are rationals
+    with denominator (2m)^2 ≈ 5e-12, well above float noise) while
+    exercising real move cascades.  Rows-only (communities are not
+    SQL-expressible without the same unrolled machinery)."""
+    r, _ = louvain_phase1(_graph(spark, sf_dir), max_rounds=2, gain_threshold=1e-9)
+    return r
 
 
 def q_lpa(spark, sf_dir):
@@ -421,6 +589,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_exact": q_kcore_exact,
         "kcore_peel": q_kcore_peel,
         "bfs_from_min": q_bfs,
+        "sssp_w7": q_sssp,
+        "hits_i4": q_hits,
+        "pagerank_dangling_i6": q_pagerank_dangling,
         "lpa_r2": q_lpa,
         "triangles": q_triangles,
         "lcc": q_lcc,
@@ -442,6 +613,9 @@ def oracle_sql() -> dict[str, str]:
         "kcore_exact": _hindex_sql(KCORE_ROUNDS),
         "kcore_peel": _hindex_sql(KCORE_ROUNDS),
         "bfs_from_min": BFS_SQL,
+        "sssp_w7": _sssp_sql(SSSP_ROUNDS),
+        "hits_i4": _hits_sql(HITS_ITERS),
+        "pagerank_dangling_i6": _pagerank_dangling_sql(PR_DANGLING_ITERS),
         "lpa_r2": _lpa_sql(LPA_ROUNDS),
         "triangles": TRIANGLES_SQL,
         "lcc": LCC_SQL,
@@ -618,6 +792,7 @@ def q_corpus_pagerank(spark, sf_dir):
 
 
 _EXTRA_QUERIES = {
+    "louvain_p1": q_louvain,
     "corpus_edges": q_corpus_edges,
     "corpus_invariant": q_corpus_invariant,
     "corpus_pagerank": q_corpus_pagerank,

@@ -1,0 +1,153 @@
+"""Louvain community detection, phase 1 — reference D14
+(``TCR/src/demo/Louvain.py:14-140``).
+
+Reference semantics reproduced:
+
+- every vertex starts in its own community (``Louvain.py:20-21``);
+- a vertex moves to the neighbor community with the highest modularity
+  gain, but only when that gain exceeds ``MODULARITY_UPDATE_THRESHOLD =
+  0.012`` (``Louvain.py:33``);
+- the gain formula is the classic two-term ΔQ (``Louvain.py:40-67``):
+  ``ΔQ(u→C) = ((Σin + 2·k_i_in)/(2m) − ((Σtot + k_i)/(2m))²)
+            − (Σin/(2m) − (Σtot/(2m))² − (k_i/(2m))²)``
+  with ``m`` = total edge weight of the symmetric edge table
+  (``Louvain.py:30`` sums per-CSR-entry weights, i.e. both directions),
+  ``Σin`` = weight of intra-community entries, ``Σtot`` = summed weighted
+  degree of the community, ``k_i`` = weighted degree of u, ``k_i_in`` =
+  weight from u into C; gain to the OWN community is 0 (``Louvain.py:49``).
+
+Documented deviation: the reference's ``apply`` mutates community state
+*sequentially inside the round* (``Louvain.py:85-105`` — each move updates
+``community_weights`` before the next vertex is considered), which makes
+its result depend on vertex iteration order.  A distributed engine cannot
+(and should not) reproduce an iteration-order artifact; this operator makes
+all round-``i`` decisions against the round-``i-1`` state (synchronous,
+Jaccard-of-GAS semantics — the same choice every published distributed
+Louvain makes).  ``tests/oracles.py::louvain_phase1`` implements the
+identical synchronous rule in NumPy and the unit tests assert exact
+equality per round.
+
+Spark formulation, one round = three joins + three aggregations, all
+map-side combinable (no window):
+
+1. ``k_i_in``:  edges ⋈ state(dst) → groupBy(src, comm).sum(w)
+2. ``Σtot``:    state ⋈ wdeg → groupBy(comm).sum(k)         (V rows)
+3. ``Σin``:     edges ⋈ state(src) ⋈ state(dst), same comm → sum(w)
+4. best move per vertex: max(struct(gain, -comm)) with the 0.012 gate.
+
+Community aggregates are V-sized or smaller and broadcast under the same
+regime policy as every other operator (plans.partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tcr_kcore_spark.graph import LinkGraph
+from tcr_kcore_spark.plans.partitioning import broadcast_max_rows, plan_superstep_edges
+from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
+
+GAIN_THRESHOLD = 0.012  # reference MODULARITY_UPDATE_THRESHOLD, Louvain.py:33
+
+
+def louvain_phase1(
+    graph: LinkGraph,
+    max_rounds: int = 10,
+    weight_col: str = "weight",
+    gain_threshold: float = GAIN_THRESHOLD,
+) -> tuple[DataFrame, SuperstepStats]:
+    """Returns ((id, community), stats) after synchronous best-gain moves
+    until no vertex moves or ``max_rounds``.  Expects an undirected graph
+    (symmetric edge table); unweighted edges default to weight 1."""
+    g = graph.undirected_view()
+    if weight_col in g.edges.columns:
+        e = g.edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
+    else:
+        e = g.edges.select("src", "dst", F.lit(1.0).alias("w"))
+    verts = g.vertices()
+    bcast = verts.count() <= broadcast_max_rows()
+    maybe_b = F.broadcast if bcast else (lambda df: df)
+    edges = plan_superstep_edges(e, bcast).persist()
+    edges.count()
+
+    # m = sum of symmetric-table entry weights (reference Louvain.py:30)
+    m = edges.agg(F.sum("w")).first()[0]
+    two_m = 2.0 * m
+    wdeg = edges.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k"))
+
+    init = verts.select("id", F.col("id").alias("comm"), F.lit(True).alias("changed"))
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        comm = state.select("id", "comm")
+        # community aggregates against the round-(i-1) assignment
+        sum_tot = (
+            comm.join(maybe_b(wdeg), "id")
+            .groupBy("comm")
+            .agg(F.sum("k").alias("sum_tot"))
+        )
+        dst_comm = comm.select(F.col("id").alias("dst"), F.col("comm").alias("dcomm"))
+        tagged = edges.join(maybe_b(dst_comm), "dst")
+        src_comm = comm.select(F.col("id").alias("src"), F.col("comm").alias("scomm"))
+        with_src = tagged.join(maybe_b(src_comm), "src")
+        sum_in = (
+            with_src.where(F.col("scomm") == F.col("dcomm"))
+            .groupBy(F.col("scomm").alias("comm"))
+            .agg(F.sum("w").alias("sum_in"))
+        )
+        # candidate (u, C) pairs: C over neighbor communities of u
+        k_i_in = (
+            tagged.groupBy(F.col("src").alias("id"), F.col("dcomm").alias("cand"))
+            .agg(F.sum("w").alias("k_i_in"))
+        )
+        cand = (
+            k_i_in.join(maybe_b(comm), "id")
+            .where(F.col("cand") != F.col("comm"))  # own community: gain 0
+            .join(maybe_b(wdeg), "id")
+            .join(
+                maybe_b(sum_tot.select(F.col("comm").alias("cand"), "sum_tot")),
+                "cand",
+            )
+            .join(
+                maybe_b(sum_in.select(F.col("comm").alias("cand"), "sum_in")),
+                "cand",
+                "left",
+            )
+            .withColumn("sum_in", F.coalesce(F.col("sum_in"), F.lit(0.0)))
+        )
+        gain = (
+            (F.col("sum_in") + 2.0 * F.col("k_i_in")) / two_m
+            - F.pow((F.col("sum_tot") + F.col("k")) / two_m, 2)
+        ) - (
+            F.col("sum_in") / two_m
+            - F.pow(F.col("sum_tot") / two_m, 2)
+            - F.pow(F.col("k") / two_m, 2)
+        )
+        best = (
+            cand.select("id", "cand", gain.alias("gain"))
+            .where(F.col("gain") > gain_threshold)
+            .groupBy("id")
+            .agg(F.max(F.struct(F.col("gain"), (-F.col("cand")).alias("neg"))).alias("m"))
+            .select("id", (-F.col("m.neg")).alias("new_comm"))
+        )
+        return state.join(maybe_b(best), "id", "left").select(
+            "id",
+            F.coalesce(F.col("new_comm"), F.col("comm")).alias("comm"),
+            (
+                F.col("new_comm").isNotNull() & (F.col("new_comm") != F.col("comm"))
+            ).alias("changed"),
+        )
+
+    def converged(prev: DataFrame, new: DataFrame, i: int) -> bool:
+        return new.where("changed").limit(1).count() == 0
+
+    state, stats = run_supersteps(
+        init,
+        step,
+        converged,
+        max_iter=max_rounds,
+        name="louvain_p1",
+    )
+    out = state.select("id", F.col("comm").alias("community"))
+    edges.unpersist()
+    return out, stats

@@ -49,6 +49,31 @@ def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# parts are offset into their own id range so the order→part graph is a
+# proper directed graph whose part vertices have NO out-edges (dangling)
+ORDER_PART_OFFSET = 1_000_000_000
+
+
+def order_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst): directed edge order → part for every lineitem row,
+    deduped.  Parts never appear as sources, so every part vertex is
+    dangling — the graph that exercises the reference's dangling-mass
+    PageRank (``PageRankMatrix.py:50-61``) and gives HITS a genuinely
+    bipartite hub/authority structure (hubs = orders, auths = parts).
+
+    Equivalent oracle SQL::
+
+        SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS src,
+               CAST(l_partkey AS BIGINT) + 1000000000 AS dst
+        FROM lineitem
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").cast("long").alias("src"),
+        (F.col("l_partkey").cast("long") + F.lit(ORDER_PART_OFFSET)).alias("dst"),
+    ).distinct()
+
+
 def cooccurrence_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     """The co-occurrence LinkGraph, marked undirected (already symmetric,
     so ``from_edges`` symmetrization is a no-op dedup)."""

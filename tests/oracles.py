@@ -200,6 +200,111 @@ def hindex_rounds(edges: list[tuple[int, int]], rounds: int) -> dict[int, int]:
     return est
 
 
+def hits(
+    edges: list[tuple[int, int]],
+    max_iter: int = 50,
+    tol: float = 1e-4,
+) -> dict[int, tuple[float, float]]:
+    """HITS with per-step global L2 normalization — mirrors the reference
+    loop (``TCR/src/demo/HITS.py:14-82``) and the engine's step order:
+    auth from current hubs, normalize, hub from NEW auths, normalize."""
+    edges = sorted({(s, d) for s, d in edges if s != d})
+    verts = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    hub = np.ones(n)
+    auth = np.ones(n)
+    for _ in range(max_iter):
+        old_hub, old_auth = hub.copy(), auth.copy()
+        auth = np.zeros(n)
+        for s, d in edges:
+            auth[idx[d]] += hub[idx[s]]
+        norm = np.sqrt((auth * auth).sum()) or 1.0
+        auth = auth / norm
+        hub = np.zeros(n)
+        for s, d in edges:
+            hub[idx[s]] += auth[idx[d]]
+        norm = np.sqrt((hub * hub).sum()) or 1.0
+        hub = hub / norm
+        delta = max(np.abs(hub - old_hub).max(), np.abs(auth - old_auth).max())
+        if delta <= tol:
+            break
+    return {v: (float(hub[idx[v]]), float(auth[idx[v]])) for v in verts}
+
+
+def louvain_phase1(
+    edges: list[tuple[int, int]],
+    max_rounds: int = 10,
+    gain_threshold: float = 0.012,
+) -> dict[int, int]:
+    """Synchronous Louvain phase 1 with the reference's gain formula and
+    0.012 threshold (``TCR/src/demo/Louvain.py:40-67,33``); all round-i
+    decisions read the round-(i-1) assignment (the engine's documented
+    synchronous deviation from the reference's sequential apply).
+    Tie-break: highest gain, then smallest community id."""
+    sym = sorted({(s, d) for s, d in edges if s != d} | {(d, s) for s, d in edges if s != d})
+    verts = sorted({v for e in sym for v in e})
+    w = 1.0
+    m = w * len(sym)
+    two_m = 2.0 * m
+    k = {v: 0.0 for v in verts}
+    for s, _ in sym:
+        k[s] += w
+    comm = {v: v for v in verts}
+    for _ in range(max_rounds):
+        sum_tot: dict[int, float] = {}
+        for v in verts:
+            sum_tot[comm[v]] = sum_tot.get(comm[v], 0.0) + k[v]
+        sum_in: dict[int, float] = {}
+        for s, d in sym:
+            if comm[s] == comm[d]:
+                sum_in[comm[s]] = sum_in.get(comm[s], 0.0) + w
+        k_i_in: dict[int, dict[int, float]] = {v: {} for v in verts}
+        for s, d in sym:
+            c = comm[d]
+            k_i_in[s][c] = k_i_in[s].get(c, 0.0) + w
+        new = dict(comm)
+        moved = False
+        for u in verts:
+            best_gain, best_c = gain_threshold, None
+            for c, kin in sorted(k_i_in[u].items()):
+                if c == comm[u]:
+                    continue
+                si = sum_in.get(c, 0.0)
+                st = sum_tot.get(c, 0.0)
+                gain = ((si + 2.0 * kin) / two_m - ((st + k[u]) / two_m) ** 2) - (
+                    si / two_m - (st / two_m) ** 2 - (k[u] / two_m) ** 2
+                )
+                if gain > best_gain or (gain == best_gain and best_c is not None and c < best_c):
+                    best_gain, best_c = gain, c
+            if best_c is not None:
+                new[u] = best_c
+                moved = True
+        comm = new
+        if not moved:
+            break
+    return comm
+
+
+def modularity(edges: list[tuple[int, int]], comm: dict[int, int]) -> float:
+    """Q = Σ_C (Σin_C/(2m) − (Σtot_C/(2m))²) over the symmetric table."""
+    sym = sorted({(s, d) for s, d in edges if s != d} | {(d, s) for s, d in edges if s != d})
+    m = float(len(sym))
+    k: dict[int, float] = {}
+    for s, _ in sym:
+        k[s] = k.get(s, 0.0) + 1.0
+    sum_tot: dict[int, float] = {}
+    for v, c in comm.items():
+        sum_tot[c] = sum_tot.get(c, 0.0) + k.get(v, 0.0)
+    sum_in: dict[int, float] = {}
+    for s, d in sym:
+        if comm[s] == comm[d]:
+            sum_in[comm[s]] = sum_in.get(comm[s], 0.0) + 1.0
+    return sum(
+        sum_in.get(c, 0.0) / (2 * m) - (sum_tot[c] / (2 * m)) ** 2 for c in sum_tot
+    )
+
+
 # -- deterministic synthetic graphs (FIXTURES.md F4) ------------------------
 
 

@@ -78,7 +78,7 @@ FAST = [
 ]
 ITERATIVE = [
     "pagerank_i8", "components", "kcore_exact", "kcore_peel",
-    "bfs_from_min", "lpa_r2",
+    "bfs_from_min", "lpa_r2", "sssp_w7", "hits_i4", "pagerank_dangling_i6",
 ]
 
 
@@ -115,7 +115,7 @@ def test_entry_smoke(spark):
 
 NEW_ORACLE = ["jaccard2_pairs", "lang_id"]
 ROWS_ONLY = ["minhash_pairs", "simhash_pairs", "lsh_topk", "media_features",
-             "corpus_edges", "corpus_invariant", "corpus_pagerank"]
+             "corpus_edges", "corpus_invariant", "corpus_pagerank", "louvain_p1"]
 
 
 @pytest.mark.parametrize("name", NEW_ORACLE)

@@ -1,0 +1,80 @@
+"""HITS (D12) and Louvain phase 1 (D14) vs their NumPy oracles."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tcr_kcore_spark.graph import LinkGraph
+from tcr_kcore_spark.operators import hits, louvain_phase1
+
+from tests import oracles
+from tests.conftest import edges_df
+
+
+DIRECTED = [
+    (0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 1), (4, 3), (4, 0), (5, 4),
+]
+
+
+def test_hits_matches_numpy_oracle(spark):
+    g = LinkGraph(edges_df(spark, DIRECTED), directed=True)
+    got, stats = hits(g, max_iter=30, tol=1e-9)
+    exp = oracles.hits(DIRECTED, max_iter=30, tol=1e-9)
+    rows = {r["id"]: (r["hub"], r["auth"]) for r in got.collect()}
+    assert set(rows) == set(exp)
+    for v, (h, a) in exp.items():
+        assert rows[v][0] == pytest.approx(h, abs=1e-9), ("hub", v)
+        assert rows[v][1] == pytest.approx(a, abs=1e-9), ("auth", v)
+
+
+def test_hits_early_convergence(spark):
+    # a DAG star: hubs/auths converge in one step; the tol early-out fires
+    edges = [(0, i) for i in range(1, 6)]
+    g = LinkGraph(edges_df(spark, edges), directed=True)
+    got, stats = hits(g, max_iter=50, tol=1e-4)
+    assert stats.converged and stats.supersteps < 50
+    rows = {r["id"]: (r["hub"], r["auth"]) for r in got.collect()}
+    assert rows[0][0] == pytest.approx(1.0, abs=1e-12)  # only hub
+    for i in range(1, 6):
+        assert rows[i][1] == pytest.approx(1 / 5**0.5, abs=1e-12)
+
+
+# two triangles joined by one bridge edge: phase 1 should pull each
+# triangle into one community
+TWO_TRIANGLES = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+
+
+# the reference's absolute 0.012 gate means gains (which scale ~1/m) only
+# clear it on small graphs; the lower-threshold cases exercise real move
+# cascades on the random fixtures
+@pytest.mark.parametrize(
+    "edges,rounds,thr",
+    [
+        (TWO_TRIANGLES, 4, 0.012),
+        (oracles.er_graph(n=60, avg_deg=6, seed=7), 3, 0.0005),
+        (oracles.zipf_hub_graph(n=80, m=400, seed=3), 3, 0.0005),
+    ],
+)
+def test_louvain_matches_numpy_oracle(spark, edges, rounds, thr):
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    got, _ = louvain_phase1(g, max_rounds=rounds, gain_threshold=thr)
+    exp = oracles.louvain_phase1(edges, max_rounds=rounds, gain_threshold=thr)
+    rows = {r["id"]: r["community"] for r in got.collect()}
+    assert rows == exp
+    if thr < 0.012:
+        assert len(set(rows.values())) < len(rows), "expected real moves"
+
+
+def test_louvain_improves_modularity(spark):
+    edges = TWO_TRIANGLES + [(10, 11), (11, 12), (12, 10), (5, 10)]
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    got, stats = louvain_phase1(g, max_rounds=6)
+    rows = {r["id"]: r["community"] for r in got.collect()}
+    singletons = {v: v for v in rows}
+    assert oracles.modularity(edges, rows) > oracles.modularity(edges, singletons)
+    assert len(set(rows.values())) < len(rows)
