@@ -210,14 +210,9 @@ def kcore_hindex_rounds(graph: LinkGraph, rounds: int) -> DataFrame:
 def _peel(
     g: LinkGraph, max_iter: int, shrink_factor: float
 ) -> tuple[DataFrame, SuperstepStats]:
-    import tempfile
-
     spark = g.edges.sparkSession
     stats = SuperstepStats()
     t0 = time.time()
-    # peeled batches append to a scratch Parquet dir — keeps the result's
-    # lineage flat no matter how many peel rounds run
-    out_dir = tempfile.mkdtemp(prefix="kcore_peel_")
 
     edges = g.edges.select("src", "dst").persist()
     deg = (
@@ -229,7 +224,31 @@ def _peel(
     alive = total_alive
     last_shrink = total_alive
 
-    wrote_any = False
+    # Peeled batches accumulate as cached per-round selections and fold
+    # into one truncated union on a DOUBLING cadence — O(log rounds) fold
+    # jobs total (round 1 wrote one Parquet append job + commit per peel
+    # round: hundreds of tiny files on a deep graph).
+    acc: DataFrame | None = None
+    pending: list[tuple[DataFrame, DataFrame]] = []  # (persisted handle, rows)
+    next_flush = 1
+
+    def _flush(acc: DataFrame | None) -> DataFrame | None:
+        if not pending:
+            return acc
+        batch = pending[0][1]
+        for _, rows in pending[1:]:
+            batch = batch.unionByName(rows)
+        if acc is not None:
+            batch = acc.unionByName(batch)
+        new_acc = truncate_lineage(batch)
+        stats.checkpoints += 1  # fold-job counter (tests bound it O(log rounds))
+        if acc is not None:
+            release_state(acc)
+        for handle, _ in pending:
+            handle.unpersist()
+        pending.clear()
+        return new_acc
+
     k = None
     while alive > 0 and stats.supersteps < max_iter:
         bounds = deg.agg(F.min("deg").alias("mn")).first()
@@ -246,10 +265,12 @@ def _peel(
             peeled.unpersist()
             continue
 
-        peeled.select("id", F.lit(k).cast("long").alias("coreness")).write.mode(
-            "append"
-        ).parquet(out_dir)
-        wrote_any = True
+        pending.append(
+            (peeled, peeled.select("id", F.lit(k).cast("long").alias("coreness")))
+        )
+        if len(pending) >= next_flush:
+            acc = _flush(acc)
+            next_flush *= 2
 
         # degree decrements: every edge from a peeled vertex to a survivor
         # (reference: torch.unique(return_counts) — KCore_new_v3.py:68-69)
@@ -269,7 +290,7 @@ def _peel(
         alive = new_deg.count()
         release_state(deg)
         deg = new_deg
-        peeled.unpersist()
+        # peeled stays persisted until its batch folds into acc (_flush)
 
         # two-phase shrink: re-materialize the survivor edge set once the
         # alive set halves (generalizes PKC frac=0.98 / KCore_big phase 2)
@@ -284,11 +305,11 @@ def _peel(
             edges = new_edges
             last_shrink = alive
 
-    if wrote_any:
-        coreness = spark.read.parquet(out_dir).persist()
-    else:
+    acc = _flush(acc)
+    if acc is None:
         coreness = spark.createDataFrame([], "id long, coreness long")
-    coreness.count()
+    else:
+        coreness = acc
     edges.unpersist()
     deg.unpersist()
     stats.wall_secs = time.time() - t0

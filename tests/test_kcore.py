@@ -55,3 +55,26 @@ def test_hindex_fixed_rounds_matches_oracle(spark):
         got = {r["id"]: r["coreness"] for r in result.collect()}
         want = oracles.hindex_rounds(edges, rounds)
         assert got == want, rounds
+
+
+def test_peel_path_graph_output_folds_logarithmic(spark):
+    """A path graph peels ~V/2 rounds; the peeled-output accumulator must
+    fold on a doubling cadence — O(log rounds) consolidation jobs, not one
+    write per round (VERDICT r1 finding #4)."""
+    from tcr_kcore_spark.graph import LinkGraph
+    from tcr_kcore_spark.operators import kcore
+    from tests.conftest import edges_df
+
+    n = 120
+    path = [(i, i + 1) for i in range(n - 1)]
+    g = LinkGraph.from_edges(edges_df(spark, path), directed=False)
+    out, stats = kcore(g, mode="peel")
+    rows = {r["id"]: r["coreness"] for r in out.collect()}
+    assert rows == {i: 1 for i in range(n)}
+    assert stats.supersteps >= n // 2 - 2
+    import math
+
+    assert stats.checkpoints <= math.ceil(math.log2(stats.supersteps)) + 2, (
+        stats.checkpoints,
+        stats.supersteps,
+    )
