@@ -1,0 +1,71 @@
+"""Text edge-list reader — reference A1/A2
+(``TCR/src/type/Graph.py:192-210`` + ``CSRGraph.py:404-487``).
+
+Reference semantics reproduced:
+
+- whitespace-separated integer endpoints per line (``np.loadtxt``), comment
+  lines skipped (SNAP-style ``#`` prefix) — ``Graph.py:196-199``;
+- extra numeric columns become edge attributes (``Graph.py:202-206``): the
+  first is named ``weight`` (what SSSP consumes), further ones ``attr2..``;
+- the vertex set is the sorted unique endpoints and ids are densified to
+  ``0..V-1`` in ascending original-id order when ``densify=True``
+  (``CSRGraph.py:432-441`` ``vertex_to_index``);
+- undirected graphs are symmetrized and deduped at build time
+  (``CSRGraph.py:452-461``), self-loops dropped
+  (``KCoreGPU-master/.../src/graph.cpp:87-101``).
+
+The reference lexsorts edges by (src, dst) (``Graph.py:200``); under
+DataFrame set semantics order is meaningless, so no sort is performed —
+callers sort on output when they need it.
+
+Spark-first: one ``spark.read.text`` scan + JVM-side split/cast (no Python
+in the scan path), so a 100 TB edge list parallelizes by file split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from tcr_kcore_spark.graph import LinkGraph
+
+
+def read_edgelist(
+    spark: SparkSession,
+    path: str,
+    comment: str = "#",
+    directed: bool = True,
+    densify: bool = False,
+    n_attrs: int | None = None,
+):
+    """Read a text edge list into a LinkGraph.
+
+    ``n_attrs``: number of extra attribute columns to keep (None =
+    autodetect from the first data line).  Returns ``LinkGraph`` or, when
+    ``densify=True``, ``(LinkGraph, id_map)`` with ``id_map = (orig, id)``.
+    """
+    lines = spark.read.text(path).select(F.trim(F.col("value")).alias("line"))
+    data = lines.where(
+        (F.length("line") > 0) & ~F.col("line").startswith(comment)
+    ).select(F.split("line", r"\s+").alias("f"))
+
+    if n_attrs is None:
+        first = data.select(F.size("f").alias("n")).first()
+        n_attrs = max(int(first["n"]) - 2, 0) if first else 0
+
+    cols = [
+        F.element_at("f", 1).cast("long").alias("src"),
+        F.element_at("f", 2).cast("long").alias("dst"),
+    ]
+    for i in range(n_attrs):
+        name = "weight" if i == 0 else f"attr{i + 1}"
+        cols.append(F.element_at("f", i + 3).cast("double").alias(name))
+    edges = data.select(*cols).where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+
+    g = LinkGraph.from_edges(edges, directed=directed)
+    if not densify:
+        return g
+    dense, id_map = g.densify()
+    return dense, id_map
