@@ -630,10 +630,17 @@ def oracle_sql() -> dict[str, str]:
 # -- dedup / text / similarity queries (training-pipeline operators) ---------
 
 
+JACCARD_MAX_DF = 50  # posting-list document-frequency cap (see dedup.py)
+
+
 def q_jaccard2_pairs(spark, sf_dir):
     """Exact word-2-gram Jaccard near-duplicate pairs (threshold 0.8) over
     documents — the exact-verification primitive behind MinHash-LSH.  The
-    driver's documents table has planted near-dups (jaccard ≈ 0.99)."""
+    driver's documents table has planted near-dups (jaccard ≈ 0.99).
+    Shingles with document frequency > JACCARD_MAX_DF are dropped before
+    the inverted-index self-join (both here and in the oracle), bounding
+    the posting-list fan-out at web scale; planted near-dups share rare
+    shingles and survive (tests/test_functions.py)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
     grams = F.when(
@@ -644,7 +651,12 @@ def q_jaccard2_pairs(spark, sf_dir):
         ),
     ).otherwise(F.array().cast("array<string>"))
     sh = docs.select(F.col("doc_id").alias("id"), F.explode(grams).alias("g")).distinct()
-    sh = sh.persist()
+    keep = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= JACCARD_MAX_DF)
+    )
+    sh = sh.join(keep.select("g"), "g", "left_semi").persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         sh.alias("x")
@@ -669,8 +681,10 @@ def q_jaccard2_pairs(spark, sf_dir):
 
 JACCARD2_SQL = (
     "WITH docs AS MATERIALIZED (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),\n"
-    "sh AS MATERIALIZED (SELECT DISTINCT doc_id AS id, g FROM (SELECT doc_id, "
+    "sh0 AS MATERIALIZED (SELECT DISTINCT doc_id AS id, g FROM (SELECT doc_id, "
     "unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g FROM docs)),\n"
+    "sh AS MATERIALIZED (SELECT id, g FROM sh0 WHERE g IN "
+    f"(SELECT g FROM sh0 GROUP BY g HAVING count(*) <= {JACCARD_MAX_DF})),\n"
     "sz AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS s FROM sh GROUP BY id),\n"
     "inter AS MATERIALIZED (SELECT x.id AS a, y.id AS b, count(*) AS i FROM sh x "
     "JOIN sh y ON x.g = y.g AND x.id < y.id GROUP BY 1, 2)\n"
@@ -740,6 +754,25 @@ def q_lsh_topk(spark, sf_dir):
     return r.select("q", "nbr", F.round("sim", 4).alias("sim"))
 
 
+def q_lsh_recall(spark, sf_dir):
+    """Measured recall@3 of the LSH-bucketed ANN path against the exact
+    cosine top-k on the embeddings table (20 query vectors).  One row
+    (n_pairs, k, recall); deterministic (seeded plan-time hyperplanes)."""
+    from tcr_kcore_spark.functions.similarity import cosine_topk, lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where("vec_id < 20")
+    exact = cosine_topk(emb, qs, k=3).select("q", "nbr").persist()
+    approx = lsh_topk(emb, qs, k=3, n_planes=16, bands=8)
+    total = exact.count()
+    hits = exact.join(approx.select("q", "nbr"), ["q", "nbr"], "left_semi").count()
+    exact.unpersist()
+    return spark.createDataFrame(
+        [(total, 3, round(hits / total, 6) if total else 0.0)],
+        "n_pairs long, k long, recall double",
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing smoke: deterministic fake media table (the sf_dir
     tables carry no binary media) through the Arrow decode/featurize path."""
@@ -801,6 +834,7 @@ _EXTRA_QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "lsh_topk": q_lsh_topk,
+    "lsh_recall": q_lsh_recall,
     "media_features": q_media_features,
 }
 _EXTRA_ORACLES = {

@@ -1,0 +1,88 @@
+"""Plan audit: prove the superstep exchange contract in both regimes.
+
+Prints the physical plan of one PageRank superstep (message join +
+aggregation) under (a) broadcast regime and (b) forced shuffle regime, and
+greps it for Exchange operators.  The contract (plans/partitioning.py):
+
+- broadcast: the cached dst-partitioned edges feed groupBy(dst) with NO
+  Exchange (the only exchange-ish op is the state BroadcastExchange);
+- shuffle: the cached src-partitioned edges join the state WITHOUT an
+  Exchange on the edge side (the state side shuffles to meet them), and
+  the only other exchange carries map-side-combined messages.
+
+Usage: python scripts/plan_audit.py [sf_dir]
+"""
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tcr_kcore_spark.session import get_spark
+
+
+def superstep_plan(spark, sf_dir: str) -> str:
+    from pyspark.sql import functions as F
+
+    from tcr_kcore_spark.graph import LinkGraph
+    from tcr_kcore_spark.plans.partitioning import (
+        broadcast_max_rows,
+        plan_superstep_edges,
+        state_side,
+    )
+    from tcr_kcore_spark.sources.relational import cooccurrence_edges
+
+    g = LinkGraph(cooccurrence_edges(spark, sf_dir), directed=False)
+    verts = g.vertices()
+    n = verts.count()
+    bcast = n <= broadcast_max_rows()
+    out_deg = g.out_degrees()
+    edges_w = plan_superstep_edges(
+        g.edges.select("src", "dst")
+        .join(out_deg.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst", (F.lit(0.85) / F.col("out_deg")).alias("w")),
+        bcast,
+    ).persist()
+    edges_w.count()
+    state = verts.select("id", F.lit(1.0).alias("rank"))
+    s = state.withColumnRenamed("id", "src")
+    msgs = (
+        edges_w.join(state_side(s, bcast), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum(F.col("w") * F.col("rank")).alias("msg"))
+    )
+    plan = msgs._jdf.queryExecution().executedPlan().toString()
+    edges_w.unpersist()
+    return f"regime={'broadcast' if bcast else 'shuffle'} (V={n})\n" + plan
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    for forced in (None, "0"):
+        if forced is None:
+            os.environ.pop("SPARK_GRAFT_BROADCAST_MAX_ROWS", None)
+        else:
+            os.environ["SPARK_GRAFT_BROADCAST_MAX_ROWS"] = forced
+        spark = get_spark(
+            app_name=f"plan_audit_{forced}",
+            cores=8,
+            shuffle_partitions=8,
+            extra_conf={
+                # make the physical strategy follow our hints, not size stats
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
+            },
+        )
+        plan = superstep_plan(spark, sf_dir)
+        # everything below the first InMemoryRelation is the ONE-TIME cache
+        # build, not per-superstep work
+        top = plan.split("InMemoryRelation", 1)[0]
+        print("=" * 72)
+        print(top)
+        n_ex = top.count("Exchange hashpartitioning")
+        print(f"--> per-superstep Exchange-hash ops (outside the cache): {n_ex}")
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

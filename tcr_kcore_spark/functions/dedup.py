@@ -58,11 +58,29 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """(a, b, jaccard) for all pairs with shingle-set Jaccard ≥ threshold,
-    a < b.  Exact (inverted-index join); quadratic only within documents
-    actually sharing shingles."""
-    sh = _shingles(df, id_col, text_col, n).persist()
+    a < b, via an inverted-index join.
+
+    ``max_df`` caps posting-list length: shingles occurring in more than
+    ``max_df`` documents are dropped from the shingle space BEFORE the
+    self-join (sizes and intersections both use the filtered space, so the
+    reported jaccard is exact over that space).  Without the cap one
+    boilerplate shingle shared by 10^6 documents fans the self-join out to
+    10^12 pairs; with it the join is bounded by Σ df² ≤ max_df · Σ df.
+    Near-duplicates share many low-frequency shingles, so they survive the
+    cap (tested with planted pairs); a pair similar ONLY through
+    above-cap boilerplate is reported with reduced (or no) similarity —
+    the standard common-shingle cutoff trade-off, stated explicitly.
+    ``max_df=None`` disables the cap (exact classic Jaccard)."""
+    sh = _shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        keep = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(
+            F.col("df") <= max_df
+        )
+        sh = sh.join(keep.select("sh"), "sh", "left_semi")
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         sh.alias("x")

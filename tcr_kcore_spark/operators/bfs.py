@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tcr_kcore_spark.graph import LinkGraph
-from tcr_kcore_spark.plans.partitioning import broadcast_max_rows, plan_superstep_edges
+from tcr_kcore_spark.plans.partitioning import (
+    broadcast_max_rows,
+    plan_superstep_edges,
+    state_side,
+)
 from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
 
 
@@ -50,8 +54,7 @@ def bfs(
 
     def step(state: DataFrame, i: int) -> DataFrame:
         frontier = state.where("frontier").select(F.col("id").alias("src"))
-        if bcast:
-            frontier = F.broadcast(frontier)
+        frontier = state_side(frontier, bcast)
         reached = (
             edges.join(frontier, "src", "left_semi")
             .select(F.col("dst").alias("id"))

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tcr_kcore_spark.graph import LinkGraph
-from tcr_kcore_spark.plans.partitioning import broadcast_max_rows
+from tcr_kcore_spark.plans.partitioning import broadcast_max_rows, state_side
 from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
 
 
@@ -61,9 +61,7 @@ def hits(
         return out
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        hubs = state.select(F.col("id").alias("src"), "hub")
-        if bcast:
-            hubs = F.broadcast(hubs)
+        hubs = state_side(state.select(F.col("id").alias("src"), "hub"), bcast)
         new_auth = (
             edges.join(hubs, "src")
             .groupBy(F.col("dst").alias("id"))
@@ -73,9 +71,9 @@ def hits(
             "id", F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth")
         )
         new_auth = _l2_normalize(new_auth, "auth")
-        auths = new_auth.select(F.col("id").alias("dst"), F.col("auth").alias("a"))
-        if bcast:
-            auths = F.broadcast(auths)
+        auths = state_side(
+            new_auth.select(F.col("id").alias("dst"), F.col("auth").alias("a")), bcast
+        )
         new_hub = (
             edges_by_dst.join(auths, "dst")
             .groupBy(F.col("src").alias("id"))

@@ -39,7 +39,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tcr_kcore_spark.graph import LinkGraph
-from tcr_kcore_spark.plans.partitioning import broadcast_max_rows, plan_superstep_edges
+from tcr_kcore_spark.plans.partitioning import (
+    broadcast_max_rows,
+    plan_superstep_edges,
+    state_side,
+)
 from tcr_kcore_spark.superstep import (
     SuperstepStats,
     release_state,
@@ -101,7 +105,7 @@ def _hindex_round(
     (the same delta-pruning the reference's activation mask provides,
     ``GASProgram.py:142-149``).
     """
-    maybe_b = F.broadcast if bcast else (lambda df: df)
+    maybe_b = lambda df: state_side(df, bcast)
     e = edges
     if changed is not None:
         targets = (

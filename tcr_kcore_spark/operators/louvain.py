@@ -45,7 +45,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tcr_kcore_spark.graph import LinkGraph
-from tcr_kcore_spark.plans.partitioning import broadcast_max_rows, plan_superstep_edges
+from tcr_kcore_spark.plans.partitioning import (
+    broadcast_max_rows,
+    plan_superstep_edges,
+    state_side,
+)
 from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
 
 GAIN_THRESHOLD = 0.012  # reference MODULARITY_UPDATE_THRESHOLD, Louvain.py:33
@@ -67,7 +71,7 @@ def louvain_phase1(
         e = g.edges.select("src", "dst", F.lit(1.0).alias("w"))
     verts = g.vertices()
     bcast = verts.count() <= broadcast_max_rows()
-    maybe_b = F.broadcast if bcast else (lambda df: df)
+    maybe_b = lambda df: state_side(df, bcast)
     edges = plan_superstep_edges(e, bcast).persist()
     edges.count()
 

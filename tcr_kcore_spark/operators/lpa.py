@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tcr_kcore_spark.graph import LinkGraph
-from tcr_kcore_spark.plans.partitioning import broadcast_max_rows, plan_superstep_edges
+from tcr_kcore_spark.plans.partitioning import (
+    broadcast_max_rows,
+    plan_superstep_edges,
+    state_side,
+)
 from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
 
 
@@ -28,8 +32,7 @@ def lpa_round(edges: DataFrame, labels: DataFrame, bcast: bool = True) -> DataFr
     """One synchronous LPA round over symmetrized ``edges``;
     ``labels`` = (id, label)."""
     lab = labels.select(F.col("id").alias("src"), F.col("label").alias("nbr_label"))
-    if bcast:
-        lab = F.broadcast(lab)
+    lab = state_side(lab, bcast)
     msgs = edges.join(
         lab,
         "src",

@@ -31,7 +31,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tcr_kcore_spark.graph import LinkGraph
-from tcr_kcore_spark.plans.partitioning import broadcast_max_rows, plan_superstep_edges
+from tcr_kcore_spark.plans.partitioning import (
+    broadcast_max_rows,
+    plan_superstep_edges,
+    state_side,
+)
 from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
 
 
@@ -86,7 +90,7 @@ def pagerank(
     def step(state: DataFrame, i: int) -> DataFrame:
         s = state.withColumnRenamed("id", "src")
         msgs = (
-            edges_w.join(F.broadcast(s) if bcast else s, "src")
+            edges_w.join(state_side(s, bcast), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("w") * F.col("rank")).alias("msg"))
         )

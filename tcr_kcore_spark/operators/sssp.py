@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tcr_kcore_spark.graph import LinkGraph
-from tcr_kcore_spark.plans.partitioning import broadcast_max_rows, plan_superstep_edges
+from tcr_kcore_spark.plans.partitioning import (
+    broadcast_max_rows,
+    plan_superstep_edges,
+    state_side,
+)
 from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
 
 
@@ -49,8 +53,7 @@ def sssp(
         frontier = state.where("changed").select(
             F.col("id").alias("src"), F.col("dist").alias("sdist")
         )
-        if bcast:
-            frontier = F.broadcast(frontier)
+        frontier = state_side(frontier, bcast)
         msgs = (
             edges.join(frontier, "src")
             .groupBy(F.col("dst").alias("id"))

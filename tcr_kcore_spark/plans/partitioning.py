@@ -37,6 +37,14 @@ def broadcast_max_rows() -> int:
     return int(os.environ.get("SPARK_GRAFT_BROADCAST_MAX_ROWS", "2000000"))
 
 
+def state_side(df: DataFrame, bcast: bool) -> DataFrame:
+    """Wrap the V-row state side of a superstep edge-join: broadcast under
+    the broadcast regime; under the shuffle regime hint it as the
+    shuffle-hash BUILD side, so the cached E-row side streams without the
+    per-superstep sort a SortMergeJoin would re-run on it."""
+    return F.broadcast(df) if bcast else df.hint("shuffle_hash")
+
+
 def plan_superstep_edges(edges: DataFrame, bcast: bool, npart: int | None = None) -> DataFrame:
     """Hash-partition the cached edge table ONCE for the superstep loop so
     that NO per-superstep exchange is ever proportional to E.

@@ -115,7 +115,15 @@ def test_entry_smoke(spark):
 
 NEW_ORACLE = ["jaccard2_pairs", "lang_id"]
 ROWS_ONLY = ["minhash_pairs", "simhash_pairs", "lsh_topk", "media_features",
-             "corpus_edges", "corpus_invariant", "corpus_pagerank", "louvain_p1"]
+             "corpus_edges", "corpus_invariant", "corpus_pagerank", "louvain_p1",
+             "lsh_recall"]
+
+
+def test_lsh_recall_meets_bar(spark):
+    """ANN scale path: measured recall@3 vs the exact cosine top-k must be
+    ≥ 0.9 at the fixed seed (VERDICT r1 item #10)."""
+    row = entrymod.queries()["lsh_recall"](spark, SF_DIR).first()
+    assert row["recall"] >= 0.9, row
 
 
 @pytest.mark.parametrize("name", NEW_ORACLE)

@@ -54,6 +54,38 @@ def test_ngram_jaccard_pairs(spark):
     assert pairs[(0, 2)] == pytest.approx(want)
 
 
+def test_ngram_jaccard_max_df_cap(spark):
+    """Posting-list cap: boilerplate shared by every doc is dropped from
+    the shingle space, so (a) pairs similar ONLY through boilerplate are
+    not reported, and (b) planted near-dups — which share rare shingles —
+    survive the cap with jaccard computed over the filtered space."""
+    boiler = (
+        "copyright two thousand twenty six all rights reserved licensed under "
+        "the apache license version two point zero see the notice file"
+    )
+    tail_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    tail_b = tail_a.replace("kappa", "lambda")  # near-dup of tail_a
+    rows = [(0, f"{boiler} {tail_a}"), (1, f"{boiler} {tail_a}"), (2, f"{boiler} {tail_b}")]
+    # 30 boilerplate-only docs with 2 unique trailing tokens each
+    rows += [(10 + i, f"{boiler} unique{i} token{i}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df=5).collect()
+    }
+    assert capped[(0, 1)] == 1.0                      # planted pair survives
+    assert (0, 2) in capped and capped[(0, 2)] > 0.5  # near-dup survives
+    assert all(a < 10 and b < 10 for a, b in capped), capped
+    # sanity: WITHOUT the cap the boilerplate-only docs pair up (the
+    # posting-list blowup the cap exists to prevent)
+    uncapped = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df=None).collect()
+    }
+    assert any(a >= 10 for a, _ in uncapped)
+
+
 def test_minhash_lsh_finds_planted_pairs(spark):
     got = {(r["a"], r["b"]) for r in minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()}
     assert (0, 1) in got and (0, 2) in got and (1, 2) in got
