@@ -198,7 +198,7 @@ def _scaling_job(spark, sf_dir: str, copies: int, part: str = "all") -> dict:
         out["pagerank_edges_per_sec"] = round(8 * n_edges / out["pagerank_i8_sec"], 0)
 
         t = _t.time()
-        kcore_hindex_rounds(g, 4).count()
+        kcore_hindex_rounds(g, 4, truncate_every=4).count()
         out["kcore_h4_sec"] = round(_t.time() - t, 2)
         out["kcore_edges_per_sec"] = round(4 * n_edges / out["kcore_h4_sec"], 0)
         g.unpersist()

@@ -187,20 +187,29 @@ def _hindex(
     return out, stats
 
 
-def kcore_hindex_rounds(graph: LinkGraph, rounds: int) -> DataFrame:
+def kcore_hindex_rounds(
+    graph: LinkGraph, rounds: int, truncate_every: int = 1
+) -> DataFrame:
     """Fixed number of h-operator rounds (no convergence check) — used by
     oracle-checked query entries where the SQL oracle unrolls the identical
-    rounds.  At convergence (rounds ≥ needed) equals exact coreness."""
+    rounds.  At convergence (rounds ≥ needed) equals exact coreness.
+    ``truncate_every``: rounds chained lazily per materialization
+    (amortizes fixed per-job costs; see run_supersteps)."""
     g = graph.undirected_view()
     bcast = g.vertices().count() <= broadcast_max_rows()
     edges = plan_superstep_edges(g.edges.select("src", "dst"), bcast).persist()
     est = g.degrees().select("id", F.col("degree").cast("long").alias("est"))
-    for i in range(rounds):
-        new_est = truncate_lineage(
-            _hindex_round(edges, est, bcast=bcast).select("id", "est")
-        )
+    i = 0
+    while i < rounds:
+        lazy = est
+        k = 0
+        while k < truncate_every and i + k < rounds:
+            lazy = _hindex_round(edges, lazy, bcast=bcast).select("id", "est")
+            k += 1
+        new_est = truncate_lineage(lazy)
         release_state(est)
         est = new_est
+        i += k
     out = est.select("id", F.col("est").alias("coreness"))
     edges.unpersist()
     return out

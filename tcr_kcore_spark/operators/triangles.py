@@ -30,7 +30,8 @@ from tcr_kcore_spark.graph import LinkGraph
 def _oriented(g: LinkGraph) -> DataFrame:
     """Orient the symmetrized edge set by (degree, id): keep (u,v) iff
     (deg(u), u) < (deg(v), v).  Exactly one direction survives per
-    undirected edge."""
+    undirected edge.  The destination's (degree, id) key is kept as ``dd``
+    so wedges can order their legs by the SAME total order."""
     und = g.undirected_view()
     deg = und.out_degrees().select(
         F.col("id"), F.col("out_deg").alias("d")
@@ -43,7 +44,7 @@ def _oriented(g: LinkGraph) -> DataFrame:
             (F.col("sd") < F.col("dd"))
             | ((F.col("sd") == F.col("dd")) & (F.col("src") < F.col("dst")))
         )
-        .select("src", "dst")
+        .select("src", "dst", "dd")
     )
     return e
 
@@ -52,11 +53,17 @@ def triangles_per_vertex(g: LinkGraph) -> DataFrame:
     """(id, triangles) — vertices in no triangle get 0."""
     o = _oriented(g).persist()
     o.count()
-    # wedges centered at the oriented source
+    # wedges centered at the oriented source, legs ordered by the SAME
+    # (degree, id) total order the orientation uses — so the closing edge
+    # u→v is oriented exactly that way in O and ONE probe direction
+    # suffices (round 1 probed both, doubling the probe side)
     w = (
         o.alias("a")
         .join(o.alias("b"), F.col("a.src") == F.col("b.src"))
-        .where(F.col("a.dst") < F.col("b.dst"))
+        .where(
+            (F.col("a.dd") < F.col("b.dd"))
+            | ((F.col("a.dd") == F.col("b.dd")) & (F.col("a.dst") < F.col("b.dst")))
+        )
         .select(
             F.col("a.src").alias("apex"),
             F.col("a.dst").alias("u"),
@@ -64,13 +71,7 @@ def triangles_per_vertex(g: LinkGraph) -> DataFrame:
         )
     )
     closing = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    # closing edge may be oriented either way in O — but orientation is a
-    # total order, and u,v are ordered by (deg,id) only partially… u<v by id
-    # does not imply orientation; check both directions to be safe
-    closing_both = closing.unionByName(
-        closing.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    tris = w.join(closing_both, ["u", "v"], "left_semi").persist()
+    tris = w.join(closing, ["u", "v"], "left_semi").persist()
     per_vertex = (
         tris.select(F.col("apex").alias("id"))
         .unionByName(tris.select(F.col("u").alias("id")))
