@@ -334,7 +334,7 @@ def q_components(spark, sf_dir):
 
 
 def q_kcore_h4(spark, sf_dir):
-    return kcore_hindex_rounds(_graph(spark, sf_dir), 4)
+    return kcore_hindex_rounds(_graph(spark, sf_dir), 4, truncate_every=4)
 
 
 def q_kcore_exact(spark, sf_dir):
