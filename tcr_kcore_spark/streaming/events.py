@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 EVENT_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
-    "value double, props map<string,string>"
+    "value double, props string"
 )
 
 
@@ -61,6 +61,44 @@ def hourly_counts_batch(events: DataFrame) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (n_events, sum_value) maintained in the state store across
+    micro-batches (Arrow-batched — no per-row Python), emitted once per
+    user per batch.  The pattern a training pipeline uses for per-source
+    running quotas/counters that windowed aggregation can't express."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 6)]}
+        )
+
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, n_events long, sum_value double",
+        "n long, s double",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_dedup_first_seen(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence per ``event_id``
+    within the watermark horizon — the streaming twin of
+    ``functions.dedup.exact_duplicates`` (state bounded by the watermark,
+    the requirement for an unbounded feed; on documents the key would be
+    ``sha2(text, 256)``)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
 def run_stream_once(spark: SparkSession, src_path: str, query_name: str = "events_agg") -> DataFrame:

@@ -58,3 +58,62 @@ def test_streaming_matches_batch(spark, tmp_path):
     b = sorted(map(tuple, batch.collect()))
     assert a == b
     assert len(a) > 0
+
+
+def test_stateful_user_totals_matches_batch(spark, tmp_path):
+    from tcr_kcore_spark.streaming.events import (
+        read_event_stream,
+        stateful_user_totals,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(2000)
+    src = str(tmp_path / "ev_state")
+    events.write.parquet(src)
+
+    out = stateful_user_totals(read_event_stream(spark, src))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in spark.table("t_user_totals").collect()
+    }
+    exp = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_stream_dedup_first_seen(spark, tmp_path):
+    from tcr_kcore_spark.streaming.events import (
+        read_event_stream,
+        stream_dedup_first_seen,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(500)
+    src = str(tmp_path / "ev_dup")
+    # write the same rows twice -> exact duplicates in the feed
+    events.write.parquet(src)
+    events.write.mode("append").parquet(src)
+
+    out = stream_dedup_first_seen(read_event_stream(spark, src))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n = spark.table("t_dedup").select("event_id").distinct().count()
+    total = spark.table("t_dedup").count()
+    assert total == n == 500
