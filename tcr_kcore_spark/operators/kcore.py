@@ -70,7 +70,9 @@ def kcore(
             g, max_iter, checkpoint_dir, checkpoint_every, resume, truncate_every
         )
     if mode == "peel":
-        return _peel(g, max_iter, shrink_factor)
+        return _peel(
+            g, max_iter, shrink_factor, checkpoint_dir, checkpoint_every, resume
+        )
     raise ValueError(f"unknown mode {mode!r}")
 
 
@@ -221,8 +223,22 @@ def kcore_hindex_rounds(
 
 
 def _peel(
-    g: LinkGraph, max_iter: int, shrink_factor: float
+    g: LinkGraph,
+    max_iter: int,
+    shrink_factor: float,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 20,
+    resume: bool = False,
 ) -> tuple[DataFrame, SuperstepStats]:
+    """Exact peel with optional mid-run checkpoint/resume — the analog of
+    the reference's phase-1 deleted-bitmap checkpoint that phase 2 loads
+    (``TCR/src/demo/KCore_big.py:252-259``, ``KCore_subscr_one.py:86``).
+    A checkpoint persists the survivor degrees, the coreness-so-far and
+    the current k; resume rebuilds the survivor edge set from the graph by
+    an induced semi-join (the compacted-CSR rebuild, A14)."""
+    import json
+    import os
+
     spark = g.edges.sparkSession
     stats = SuperstepStats()
     t0 = time.time()
@@ -233,9 +249,6 @@ def _peel(
         .select("id", F.col("degree").cast("long").alias("deg"))
         .persist()
     )
-    total_alive = deg.count()
-    alive = total_alive
-    last_shrink = total_alive
 
     # Peeled batches accumulate as cached per-round selections and fold
     # into one truncated union on a DOUBLING cadence — O(log rounds) fold
@@ -244,6 +257,43 @@ def _peel(
     acc: DataFrame | None = None
     pending: list[tuple[DataFrame, DataFrame]] = []  # (persisted handle, rows)
     next_flush = 1
+    k = None
+
+    if resume and checkpoint_dir:
+        meta_path = os.path.join(checkpoint_dir, "peel_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            deg.unpersist()
+            deg = spark.read.parquet(os.path.join(checkpoint_dir, "deg")).persist()
+            if meta["has_coreness"]:
+                acc = spark.read.parquet(os.path.join(checkpoint_dir, "coreness"))
+                acc = truncate_lineage(acc)
+            k = meta["k"]
+            stats.supersteps = meta["rounds"]
+            stats.resumed_from = meta["rounds"]
+            # compacted survivor rebuild (A14): only edges between alive ids
+            survivors = deg.select("id")
+            edges_r = (
+                edges.join(survivors.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(survivors.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            )
+            edges_r = truncate_lineage(edges_r)
+            edges.unpersist()
+            edges = edges_r
+
+    def _checkpoint(deg, acc, k):
+        nonlocal pending
+        acc = _flush(acc)
+        deg.write.mode("overwrite").parquet(os.path.join(checkpoint_dir, "deg"))
+        if acc is not None:
+            acc.write.mode("overwrite").parquet(os.path.join(checkpoint_dir, "coreness"))
+        with open(os.path.join(checkpoint_dir, "peel_meta.json"), "w") as f:
+            json.dump(
+                {"k": k, "rounds": stats.supersteps, "has_coreness": acc is not None},
+                f,
+            )
+        return acc
 
     def _flush(acc: DataFrame | None) -> DataFrame | None:
         if not pending:
@@ -262,7 +312,12 @@ def _peel(
         pending.clear()
         return new_acc
 
-    k = None
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+    total_alive = deg.count()
+    alive = total_alive
+    last_shrink = total_alive
+    rounds_since_ckpt = 0
     while alive > 0 and stats.supersteps < max_iter:
         bounds = deg.agg(F.min("deg").alias("mn")).first()
         min_deg = bounds["mn"]
@@ -304,6 +359,11 @@ def _peel(
         release_state(deg)
         deg = new_deg
         # peeled stays persisted until its batch folds into acc (_flush)
+
+        rounds_since_ckpt += 1
+        if checkpoint_dir and alive > 0 and rounds_since_ckpt >= checkpoint_every:
+            acc = _checkpoint(deg, acc, k)
+            rounds_since_ckpt = 0
 
         # two-phase shrink: re-materialize the survivor edge set once the
         # alive set halves (generalizes PKC frac=0.98 / KCore_big phase 2)

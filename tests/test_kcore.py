@@ -78,3 +78,33 @@ def test_peel_path_graph_output_folds_logarithmic(spark):
         stats.checkpoints,
         stats.supersteps,
     )
+
+
+def test_peel_checkpoint_resume_identical(spark, tmp_path):
+    """Peel-mode phase checkpoint (reference deleted-bitmap semantics,
+    KCore_big.py:252-259): interrupt mid-peel, resume from the survivor
+    degrees + coreness-so-far, final coreness identical."""
+    from tcr_kcore_spark.graph import LinkGraph
+    from tcr_kcore_spark.operators import kcore
+    from tests import oracles
+    from tests.conftest import edges_df
+
+    edges = oracles.er_graph(n=250, avg_deg=6, seed=5)
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    full, _ = kcore(g, mode="peel")
+    want = {r["id"]: r["coreness"] for r in full.collect()}
+
+    ck = str(tmp_path / "peel_ck")
+    g2 = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    partial, st1 = kcore(
+        g2, mode="peel", max_iter=4, checkpoint_dir=ck, checkpoint_every=2
+    )
+    assert st1.supersteps == 4
+
+    g3 = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    resumed, st2 = kcore(
+        g3, mode="peel", checkpoint_dir=ck, checkpoint_every=2, resume=True
+    )
+    assert st2.resumed_from is not None and st2.resumed_from >= 2
+    got = {r["id"]: r["coreness"] for r in resumed.collect()}
+    assert got == want
