@@ -62,8 +62,18 @@ def kcore(
     resume: bool = False,
     shrink_factor: float = 0.5,
     truncate_every: int = 1,
+    local_finish_vertices: int = 100_000,
+    local_finish_edges: int = 2_000_000,
 ) -> tuple[DataFrame, SuperstepStats]:
-    """Returns ((id, coreness), stats) on the symmetrized graph."""
+    """Returns ((id, coreness), stats) on the symmetrized graph.
+
+    ``local_finish_vertices/edges`` (peel mode): once the survivor set
+    shrinks below both bounds, the residual graph is peeled to completion
+    inside ONE ``applyInPandas`` task (a CSR-block NumPy BZ kernel with
+    the current k as floor) — the reference's phase 2, which re-peels the
+    small residual on a single device (``KCore_subscr_one.py:79-141``).
+    This collapses the long tail of tiny peel rounds (each a full Spark
+    job) into one task.  Set to 0 to disable (pure distributed rounds)."""
     g = graph.undirected_view()
     if mode == "hindex":
         return _hindex(
@@ -71,7 +81,14 @@ def kcore(
         )
     if mode == "peel":
         return _peel(
-            g, max_iter, shrink_factor, checkpoint_dir, checkpoint_every, resume
+            g,
+            max_iter,
+            shrink_factor,
+            checkpoint_dir,
+            checkpoint_every,
+            resume,
+            local_finish_vertices,
+            local_finish_edges,
         )
     raise ValueError(f"unknown mode {mode!r}")
 
@@ -222,6 +239,46 @@ def kcore_hindex_rounds(
 # ---------------------------------------------------------------------------
 
 
+def _bz_finish_kernel(k_floor: int):
+    """Serial Batagelj–Zaveršnik peel with ``k_floor`` as the starting k —
+    continuing a partial distributed peel is order-independent, so running
+    BZ on the residual (whose degree table already reflects every remote
+    decrement) assigns exactly the original coreness.  Runs as ONE
+    applyInPandas group: the Arrow batch is the whole residual edge block
+    (the "CSR block" — reference phase 2 on one device)."""
+
+    def kernel(pdf):
+        import pandas as pd
+
+        adj: dict[int, set] = {}
+        for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+            adj.setdefault(int(s), set()).add(int(d))
+        deg = {v: len(ns) for v, ns in adj.items()}
+        core: dict[int, int] = {}
+        alive = set(adj)
+        k = k_floor
+        while alive:
+            mn = min(deg[v] for v in alive)
+            k = max(k, mn)
+            peel = [v for v in alive if deg[v] <= k]
+            while peel:
+                v = peel.pop()
+                if v not in alive:
+                    continue
+                core[v] = k
+                alive.discard(v)
+                for u in adj[v]:
+                    if u in alive:
+                        deg[u] -= 1
+                        if deg[u] <= k:
+                            peel.append(u)
+        return pd.DataFrame(
+            {"id": list(core.keys()), "coreness": list(core.values())}
+        ).astype("int64")
+
+    return kernel
+
+
 def _peel(
     g: LinkGraph,
     max_iter: int,
@@ -229,6 +286,8 @@ def _peel(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 20,
     resume: bool = False,
+    local_finish_vertices: int = 100_000,
+    local_finish_edges: int = 2_000_000,
 ) -> tuple[DataFrame, SuperstepStats]:
     """Exact peel with optional mid-run checkpoint/resume — the analog of
     the reference's phase-1 deleted-bitmap checkpoint that phase 2 loads
@@ -318,7 +377,33 @@ def _peel(
     alive = total_alive
     last_shrink = total_alive
     rounds_since_ckpt = 0
+    local_finished = False
     while alive > 0 and stats.supersteps < max_iter:
+        # phase-2 handoff: peel the small residual to completion in ONE task
+        if 0 < local_finish_vertices >= alive:
+            survivors = deg.select("id")
+            residual = (
+                edges.join(survivors.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(survivors.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .persist()
+            )
+            n_res = residual.count()
+            if n_res <= local_finish_edges:
+                kernel = _bz_finish_kernel(k_floor=k if k is not None else 0)
+                local = residual.groupBy(F.lit(1).alias("__g")).applyInPandas(
+                    kernel, "id long, coreness long"
+                )
+                local = truncate_lineage(local)
+                # survivors with no residual edges peel at the current k
+                floor = F.lit(k if k is not None else 0).cast("long")
+                isolated = deg.join(local, "id", "left_anti").select(
+                    "id", floor.alias("coreness")
+                )
+                pending.append((residual, local.unionByName(isolated)))
+                residual.unpersist()
+                local_finished = True
+                break
+            residual.unpersist()
         bounds = deg.agg(F.min("deg").alias("mn")).first()
         min_deg = bounds["mn"]
         # jump k to the smallest remaining degree (same output as k += 1

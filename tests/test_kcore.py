@@ -27,11 +27,15 @@ def test_star(spark, mode):
     assert got == {v: 1 for v in range(6)}
 
 
-@pytest.mark.parametrize("mode", ["hindex", "peel"])
-def test_er_graph_vs_bz_oracle(spark, mode):
+@pytest.mark.parametrize(
+    "mode,lfv", [("hindex", 0), ("peel", 0), ("peel", 100_000)]
+)
+def test_er_graph_vs_bz_oracle(spark, mode, lfv):
+    # lfv=0 forces the pure distributed peel rounds; lfv=100k routes through
+    # the phase-2 single-task BZ finisher — both must match the oracle
     edges = oracles.er_graph(n=250, avg_deg=8)
     g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
-    result, _ = kcore(g, mode=mode)
+    result, _ = kcore(g, mode=mode, local_finish_vertices=lfv)
     got = {r["id"]: r["coreness"] for r in result.collect()}
     want = oracles.coreness(edges)
     assert got == want
@@ -68,7 +72,7 @@ def test_peel_path_graph_output_folds_logarithmic(spark):
     n = 120
     path = [(i, i + 1) for i in range(n - 1)]
     g = LinkGraph.from_edges(edges_df(spark, path), directed=False)
-    out, stats = kcore(g, mode="peel")
+    out, stats = kcore(g, mode="peel", local_finish_vertices=0)
     rows = {r["id"]: r["coreness"] for r in out.collect()}
     assert rows == {i: 1 for i in range(n)}
     assert stats.supersteps >= n // 2 - 2
@@ -91,16 +95,19 @@ def test_peel_checkpoint_resume_identical(spark, tmp_path):
 
     edges = oracles.er_graph(n=250, avg_deg=6, seed=5)
     g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
-    full, _ = kcore(g, mode="peel")
+    full, _ = kcore(g, mode="peel", local_finish_vertices=0)
     want = {r["id"]: r["coreness"] for r in full.collect()}
 
     ck = str(tmp_path / "peel_ck")
     g2 = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
     partial, st1 = kcore(
-        g2, mode="peel", max_iter=4, checkpoint_dir=ck, checkpoint_every=2
+        g2, mode="peel", max_iter=4, checkpoint_dir=ck, checkpoint_every=2,
+        local_finish_vertices=0,
     )
     assert st1.supersteps == 4
 
+    # resume WITH the local finisher on: it must seed k from the manifest
+    # and complete to the identical coreness
     g3 = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
     resumed, st2 = kcore(
         g3, mode="peel", checkpoint_dir=ck, checkpoint_every=2, resume=True
