@@ -48,7 +48,7 @@ def _run_headline(spark, sf_dir: str) -> dict:
     meta["vertices"] = n_verts
 
     t = time.time()
-    pr, st = pagerank(g, tol=1e-6, max_iter=100)
+    pr, st = pagerank(g, tol=1e-6, max_iter=100, truncate_every=2)
     pr.count()
     timings["pagerank_conv"] = round(time.time() - t, 3)
     meta["pagerank_supersteps"] = st.supersteps
@@ -63,7 +63,7 @@ def _run_headline(spark, sf_dir: str) -> dict:
     timings["components"] = round(time.time() - t, 3)
 
     t = time.time()
-    kc, st = kcore(g, mode="hindex")
+    kc, st = kcore(g, mode="hindex", truncate_every=2)
     kc.count()
     timings["kcore"] = round(time.time() - t, 3)
     meta["kcore_supersteps"] = st.supersteps

@@ -5,7 +5,7 @@ exchange instead of a state broadcast).  Forced via
 $SPARK_GRAFT_BROADCAST_MAX_ROWS=0 (plans.partitioning.broadcast_max_rows).
 
 Also covers the hub-skew formulation of the h-index round and the LPA mode:
-a planted 50k-degree hub must not change results (and must not require a
+a planted 70k-degree hub must not change results (and must not require a
 degree-length sort in any single task — the distinct-value aggregation
 compresses the hub's messages to one row per distinct estimate).
 """
@@ -105,12 +105,12 @@ def test_shuffle_regime_sssp_hits(spark, force_shuffle_regime):
 
 
 def test_planted_hub_kcore_lpa(spark):
-    # star with 50k leaves glued to a K4 clique: exact coreness is 1 for
+    # star with 70k leaves glued to a K4 clique: exact coreness is 1 for
     # the leaves and 3 for all four clique members (the hub included — its
-    # 50k degree does not raise its coreness).  The hub's h-round messages
+    # 70k degree does not raise its coreness).  The hub's h-round messages
     # compress to two distinct estimate values, so no task ever sorts a
     # degree-length list.
-    n = 50_000
+    n = 70_000  # above _HUB_WINDOW_MAX_DEG -> operator picks the hub-safe path
     leaves = [(0, i) for i in range(10, 10 + n)]
     clique = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
     g = LinkGraph.from_edges(edges_df(spark, leaves + clique), directed=False)
