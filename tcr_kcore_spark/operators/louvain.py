@@ -55,6 +55,44 @@ from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
 GAIN_THRESHOLD = 0.012  # reference MODULARITY_UPDATE_THRESHOLD, Louvain.py:33
 
 
+def louvain_aggregate(
+    graph: LinkGraph, communities: DataFrame, weight_col: str = "weight"
+) -> DataFrame:
+    """Louvain phase 2 — community aggregation
+    (``TCR/src/demo/Louvain.py:130-168`` ``community_aggregation``).
+
+    Relabels every (symmetric-table) edge endpoint by its community,
+    canonicalizes the pair to (min, max) exactly like the reference
+    (``Louvain.py:146-151`` — intra-community edges survive as (c, c)
+    self-pairs carrying the internal weight), and sums weights per pair.
+    Returns the condensed edge table ``(src, dst, weight)`` with
+    src ≤ dst; feed it back through :func:`louvain_phase1` for the next
+    level of the full Louvain loop (``Louvain.py:171+``).
+    """
+    g = graph.undirected_view()
+    if weight_col in g.edges.columns:
+        e = g.edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
+    else:
+        e = g.edges.select("src", "dst", F.lit(1.0).alias("w"))
+    comm_src = communities.select(
+        F.col("id").alias("src"), F.col(communities.columns[1]).alias("cs")
+    )
+    comm_dst = communities.select(
+        F.col("id").alias("dst"), F.col(communities.columns[1]).alias("cd")
+    )
+    return (
+        e.join(comm_src, "src")
+        .join(comm_dst, "dst")
+        .select(
+            F.least("cs", "cd").alias("src"),
+            F.greatest("cs", "cd").alias("dst"),
+            "w",
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("weight"))
+    )
+
+
 def louvain_phase1(
     graph: LinkGraph,
     max_rounds: int = 10,

@@ -78,3 +78,56 @@ def test_louvain_improves_modularity(spark):
     singletons = {v: v for v in rows}
     assert oracles.modularity(edges, rows) > oracles.modularity(edges, singletons)
     assert len(set(rows.values())) < len(rows)
+
+
+def test_louvain_aggregate_matches_reference_semantics(spark):
+    """Phase 2 (community_aggregation, Louvain.py:130-168): relabel by
+    community, canonicalize to (min, max) keeping intra-community
+    self-pairs, sum weights over the symmetric table."""
+    from tcr_kcore_spark.operators import louvain_aggregate
+
+    g = LinkGraph.from_edges(edges_df(spark, TWO_TRIANGLES), directed=False)
+    comm = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 3)], "id long, community long"
+    )
+    got = {(r["src"], r["dst"]): r["weight"] for r in louvain_aggregate(g, comm).collect()}
+    # NumPy-free replica of the reference loop over the symmetric table
+    sym = {(s, d) for s, d in TWO_TRIANGLES} | {(d, s) for s, d in TWO_TRIANGLES}
+    cm = {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+    want: dict = {}
+    for s, d in sym:
+        key = tuple(sorted((cm[s], cm[d])))
+        want[key] = want.get(key, 0.0) + 1.0
+    assert got == want
+    # intra-triangle weight: 6 symmetric entries each -> (0,0)=6, (3,3)=6,
+    # one bridge edge in both directions -> (0,3)=2
+    assert got[(0, 0)] == 6.0 and got[(3, 3)] == 6.0 and got[(0, 3)] == 2.0
+
+
+def test_louvain_two_level(spark):
+    """phase1 -> aggregate -> phase1 on the condensed graph composes into
+    a coarser assignment (the full Louvain loop, Louvain.py:171+)."""
+    from tcr_kcore_spark.operators import louvain_aggregate
+
+    # two triangle-pairs, weak bridges: level 1 finds 4 triangles, level 2
+    # can merge along the condensed bridges
+    tris = []
+    for b in range(4):
+        o = 3 * b
+        tris += [(o, o + 1), (o + 1, o + 2), (o + 2, o)]
+    bridges = [(2, 3), (5, 6), (8, 9)]
+    g = LinkGraph.from_edges(edges_df(spark, tris + bridges), directed=False)
+    lvl1, _ = louvain_phase1(g, max_rounds=4)
+    n1 = lvl1.select("community").distinct().count()
+    assert n1 < 12
+    condensed = louvain_aggregate(g, lvl1)
+    # next-level input: symmetric closure of the canonical pairs, KEEPING
+    # the (c,c) self-weights (from_edges would drop them)
+    from pyspark.sql import functions as F
+
+    rev = condensed.where("src != dst").select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+    )
+    g2 = LinkGraph(condensed.unionByName(rev), directed=False)
+    lvl2, _ = louvain_phase1(g2, max_rounds=4, gain_threshold=1e-9)
+    assert lvl2.count() == n1
