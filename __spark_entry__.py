@@ -333,6 +333,14 @@ def q_components(spark, sf_dir):
     return r
 
 
+def q_components_smallstar(spark, sf_dir):
+    """Large-star/small-star (ICDE'13) — the O(log n)-round scale path for
+    high-diameter graphs; converges to the same min-id labels, so it
+    shares the hashmin oracle."""
+    r, _ = connected_components(_graph(spark, sf_dir), mode="smallstar")
+    return r
+
+
 def q_kcore_h4(spark, sf_dir):
     return kcore_hindex_rounds(_graph(spark, sf_dir), 4, truncate_every=4)
 
@@ -585,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees": q_degrees,
         "pagerank_i8": q_pagerank,
         "components": q_components,
+        "components_smallstar": q_components_smallstar,
         "kcore_h4": q_kcore_h4,
         "kcore_exact": q_kcore_exact,
         "kcore_peel": q_kcore_peel,
@@ -609,6 +618,7 @@ def oracle_sql() -> dict[str, str]:
         "degrees": DEGREES_SQL,
         "pagerank_i8": _pagerank_sql(PR_ITERS),
         "components": _components_sql(CC_ROUNDS),
+        "components_smallstar": _components_sql(CC_ROUNDS),
         "kcore_h4": _hindex_sql(4),
         "kcore_exact": _hindex_sql(KCORE_ROUNDS),
         "kcore_peel": _hindex_sql(KCORE_ROUNDS),

@@ -77,7 +77,7 @@ FAST = [
     "events_hourly", "embed_topk", "triangles", "lcc", "kcore_h4",
 ]
 ITERATIVE = [
-    "pagerank_i8", "components", "kcore_exact", "kcore_peel",
+    "pagerank_i8", "components", "components_smallstar", "kcore_exact", "kcore_peel",
     "bfs_from_min", "lpa_r2", "sssp_w7", "hits_i4", "pagerank_dangling_i6",
 ]
 
