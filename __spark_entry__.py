@@ -244,6 +244,65 @@ def _pagerank_dangling_sql(iters: int) -> str:
     )
 
 
+def _louvain_sql(rounds: int, threshold: float) -> str:
+    """Unrolled synchronous Louvain phase 1 on the (unweighted)
+    co-occurrence graph.  Every gain input (sum_in, sum_tot, k, k_i_in) is
+    a COUNT — an exact integer-valued double — and the gain expression has
+    the identical parenthesization as the Spark operator, so gains are
+    bit-equal across engines and the threshold/tie-break decisions match
+    exactly."""
+    ctes = [
+        EDGES_CTE,
+        VERTS_CTE,
+        "kk AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS DOUBLE) AS k "
+        "FROM edges GROUP BY src)",
+        "tm AS MATERIALIZED (SELECT 2.0 * CAST(count(*) AS DOUBLE) AS two_m FROM edges)",
+        "lv0 AS MATERIALIZED (SELECT id, id AS c FROM verts)",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"lv{i-1}"
+        ctes.append(
+            f"st{i} AS MATERIALIZED (SELECT p.c, sum(kk.k) AS sum_tot "
+            f"FROM {p} p JOIN kk ON p.id = kk.id GROUP BY p.c)"
+        )
+        ctes.append(
+            f"si{i} AS MATERIALIZED (SELECT ls.c, CAST(count(*) AS DOUBLE) AS sum_in "
+            f"FROM edges e JOIN {p} ls ON e.src = ls.id JOIN {p} ld ON e.dst = ld.id "
+            f"WHERE ls.c = ld.c GROUP BY ls.c)"
+        )
+        ctes.append(
+            f"kin{i} AS MATERIALIZED (SELECT e.src AS id, ld.c AS cand, "
+            f"CAST(count(*) AS DOUBLE) AS kin "
+            f"FROM edges e JOIN {p} ld ON e.dst = ld.id GROUP BY e.src, ld.c)"
+        )
+        ctes.append(
+            f"cand{i} AS MATERIALIZED (SELECT kin.id, kin.cand, "
+            f"(((coalesce(si.sum_in, 0.0) + 2.0 * kin.kin) / (SELECT two_m FROM tm) "
+            f"- pow((st.sum_tot + kk.k) / (SELECT two_m FROM tm), 2)) "
+            f"- (coalesce(si.sum_in, 0.0) / (SELECT two_m FROM tm) "
+            f"- pow(st.sum_tot / (SELECT two_m FROM tm), 2) "
+            f"- pow(kk.k / (SELECT two_m FROM tm), 2))) AS gain "
+            f"FROM kin{i} kin JOIN {p} me ON kin.id = me.id AND kin.cand <> me.c "
+            f"JOIN kk ON kin.id = kk.id "
+            f"JOIN st{i} st ON st.c = kin.cand "
+            f"LEFT JOIN si{i} si ON si.c = kin.cand)"
+        )
+        ctes.append(
+            f"best{i} AS MATERIALIZED (SELECT id, cand FROM ("
+            f"SELECT id, cand, row_number() OVER (PARTITION BY id "
+            f"ORDER BY gain DESC, cand ASC) AS rn FROM cand{i} "
+            f"WHERE gain > {threshold!r}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"lv{i} AS MATERIALIZED (SELECT p.id, coalesce(b.cand, p.c) AS c "
+            f"FROM {p} p LEFT JOIN best{i} b ON p.id = b.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(c AS BIGINT) AS community FROM lv{rounds}"
+    )
+
+
 def _lpa_sql(rounds: int) -> str:
     ctes = [EDGES_CTE, VERTS_CTE, "lab0 AS MATERIALIZED (SELECT id, id AS label FROM verts)"]
     for i in range(1, rounds + 1):
@@ -403,8 +462,10 @@ def q_louvain(spark, sf_dir):
     the reference's absolute 0.012: gains scale ~1/m, so at benchmark m the
     0.012 gate no-ops; 1e-9 keeps determinism (nonzero gains are rationals
     with denominator (2m)^2 ≈ 5e-12, well above float noise) while
-    exercising real move cascades.  Rows-only (communities are not
-    SQL-expressible without the same unrolled machinery)."""
+    exercising real move cascades.  Oracle-checked: with unit weights every
+    gain input is an exact integer-valued double, so the unrolled SQL's
+    identically-parenthesized gain expression is bit-equal and threshold /
+    tie-break decisions match across engines."""
     r, _ = louvain_phase1(_graph(spark, sf_dir), max_rounds=2, gain_threshold=1e-9)
     return r
 
@@ -850,6 +911,7 @@ _EXTRA_QUERIES = {
 _EXTRA_ORACLES = {
     "jaccard2_pairs": JACCARD2_SQL,
     "lang_id": _lang_id_sql(),
+    "louvain_p1": _louvain_sql(2, 1e-9),
 }
 
 _BASE_QUERIES = queries

@@ -113,9 +113,9 @@ def test_entry_smoke(spark):
     assert df.columns == ["id", "rank", "degree"]
 
 
-NEW_ORACLE = ["jaccard2_pairs", "lang_id"]
+NEW_ORACLE = ["jaccard2_pairs", "lang_id", "louvain_p1"]
 ROWS_ONLY = ["minhash_pairs", "simhash_pairs", "lsh_topk", "media_features",
-             "corpus_edges", "corpus_invariant", "corpus_pagerank", "louvain_p1",
+             "corpus_edges", "corpus_invariant", "corpus_pagerank",
              "lsh_recall"]
 
 
