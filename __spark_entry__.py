@@ -77,10 +77,11 @@ SSSP_ROUNDS = 16  # ≥ weighted-path hop diameter at both test SFs; Bellman-
 # parity holds even short of the fixpoint
 PR_DANGLING_ITERS = 6
 
-# directed order→part graph (parts offset by 1e9 → every part is dangling)
+# directed order→part graph (parts offset by 2^40 so the ranges can never
+# collide at any scale factor → every part is dangling)
 DEDGES_CTE = (
     "dedges AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS src, "
-    "CAST(l_partkey AS BIGINT) + 1000000000 AS dst FROM lineitem)"
+    "CAST(l_partkey AS BIGINT) + 1099511627776 AS dst FROM lineitem)"
 )
 DVERTS_CTE = (
     "dverts AS MATERIALIZED (SELECT src AS id FROM dedges UNION SELECT dst FROM dedges)"
@@ -765,6 +766,68 @@ JACCARD2_SQL = (
 )
 
 
+def q_quality_score(spark, sf_dir):
+    """Heuristic document quality features + combined score (the text-side
+    filter a training-data pipeline runs before dedup) — one projection,
+    no UDF, no shuffle."""
+    from tcr_kcore_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_score(docs)
+
+
+def _quality_score_sql() -> str:
+    from tcr_kcore_spark.functions.text import LANG_PROFILES
+
+    stopset = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    # identical structure/parenthesization as functions/text.py:quality_score
+    n_tok = "CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)"
+    n_chars = "CAST(length(text) AS DOUBLE)"
+    stop = (
+        f"CAST(len(list_filter(regexp_extract_all(text, '\\S+'), "
+        f"x -> x IN ({stopset}))) AS DOUBLE)"
+    )
+    punct = "CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)"
+    digit = "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
+    mean_tok = f"(length(regexp_replace(text, '\\s+', '', 'g')) / {n_tok})"
+    stop_ratio = f"({stop} / {n_tok})"
+    punct_ratio = f"({punct} / greatest({n_chars}, 1.0))"
+    digit_ratio = f"({digit} / greatest({n_chars}, 1.0))"
+    len_ok = f"(CASE WHEN {n_tok} >= 10 AND {n_tok} <= 100000 THEN 1.0 ELSE 0.3 END)"
+    tok_len_ok = (
+        f"(CASE WHEN {mean_tok} >= 2.5 AND {mean_tok} <= 12 THEN 1.0 ELSE 0.5 END)"
+    )
+    score = (
+        f"0.4 * {len_ok} + 0.2 * {tok_len_ok} "
+        f"+ 0.2 * (1.0 - least({punct_ratio} * 5, 1.0)) "
+        f"+ 0.1 * (1.0 - least({digit_ratio} * 5, 1.0)) "
+        f"+ 0.1 * least({stop_ratio} * 5, 1.0)"
+    )
+    return (
+        "SELECT doc_id, "
+        f"CAST({n_tok} AS BIGINT) AS n_tokens, "
+        f"round({mean_tok}, 6) AS mean_token_len, "
+        f"round({stop_ratio}, 6) AS stopword_ratio, "
+        f"round({punct_ratio}, 6) AS punct_ratio, "
+        f"round({digit_ratio}, 6) AS digit_ratio, "
+        f"round({score}, 6) AS quality_score "
+        "FROM documents"
+    )
+
+
+def q_louvain_full(spark, sf_dir):
+    """Packaged multi-level Louvain (phase1 -> condense -> repeat until no
+    move; ``TCR/src/demo/Louvain.py:171+``) on the co-occurrence graph.
+    Rows-only (per-level NumPy-oracle equality is pinned by
+    tests/test_hits_louvain.py::test_louvain_full_matches_numpy_oracle);
+    deterministic: synchronous rounds + lexicographic tie-breaks."""
+    from tcr_kcore_spark.operators import louvain
+
+    r, _ = louvain(_graph(spark, sf_dir), max_levels=4, max_rounds=2,
+                   gain_threshold=1e-9)
+    return r
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-profile language ID (n-gram heuristic) over documents."""
     from tcr_kcore_spark.functions.text import language_id
@@ -857,6 +920,94 @@ def q_media_features(spark, sf_dir):
     return feats.select("sample_id", "modality", "n_bytes", "checksum")
 
 
+# -- text edge-list ingest (A1, Graph.py:192-210) + densify (A2/CSRGraph
+# vertex_to_index, CSRGraph.py:432-441) — end-to-end through the SNAP file --
+
+
+def _snap_edgelist_file(spark, sf_dir: str) -> str:
+    """Write a deterministic SNAP-style text edge list derived from
+    lineitem (the directed order→part graph with weight 1+(src+dst)%7) to
+    a temp path, with comment header lines — regenerated (overwritten)
+    on every call so the fixture content is a pure function of sf_dir."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"tcr_kcore_edgelist_{tag}.txt")
+    w = (F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(7))).cast("long")
+    rows = (
+        order_part_edges(spark, sf_dir)
+        .select("src", "dst", w.alias("w"))
+        .orderBy("src", "dst")
+        .collect()
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("# SNAP-style directed order->part edge list (from lineitem)\n")
+        f.write("# FromNodeId ToNodeId Weight\n")
+        for r in rows:
+            f.write(f"{r['src']} {r['dst']} {r['w']}\n")
+    os.replace(tmp, path)
+    return path
+
+
+# dense ids are assigned in ascending original-id order (CSRGraph.py:432-441)
+# — exactly row_number() over the sorted vertex set
+DENSE_MAP_CTE = (
+    "m AS MATERIALIZED (SELECT id AS orig, "
+    "row_number() OVER (ORDER BY id) - 1 AS did FROM dverts)"
+)
+
+EDGELIST_WDEG_SQL = (
+    "WITH " + DEDGES_CTE + ", " + DVERTS_CTE + ", " + DENSE_MAP_CTE + ",\n"
+    "wed AS MATERIALIZED (SELECT src, dst, "
+    "CAST(1 + (src + dst) % 7 AS DOUBLE) AS w FROM dedges)\n"
+    "SELECT m.did AS id, CAST(count(*) AS BIGINT) AS out_degree, "
+    "round(sum(e.w), 6) AS wsum "
+    "FROM wed e JOIN m ON e.src = m.orig GROUP BY m.did"
+)
+
+EDGELIST_SYMDEG_SQL = (
+    "WITH " + DEDGES_CTE + ", " + DVERTS_CTE + ", " + DENSE_MAP_CTE + ",\n"
+    "sym AS MATERIALIZED (SELECT src, dst FROM dedges "
+    "UNION SELECT dst, src FROM dedges)\n"
+    "SELECT m.did AS id, CAST(count(*) AS BIGINT) AS degree "
+    "FROM sym s JOIN m ON s.src = m.orig GROUP BY m.did"
+)
+
+
+def q_edgelist_wdeg(spark, sf_dir):
+    """A1 end-to-end: SNAP text scan (comment skipping, autodetected weight
+    column) -> densify -> per-dense-src out-degree + weight mass.  Checks
+    the reader (Graph.py:192-210), the attribute column, and the
+    ascending-order dense-id contract against a pure-SQL replica."""
+    from tcr_kcore_spark.sources.edgelist import read_edgelist
+    from tcr_kcore_spark.superstep import propagate_release
+
+    path = _snap_edgelist_file(spark, sf_dir)
+    g, idmap = read_edgelist(spark, path, directed=True, densify=True)
+    out = g.edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_degree"),
+        F.round(F.sum("weight"), 6).alias("wsum"),
+    )
+    return propagate_release(out, idmap)
+
+
+def q_edgelist_symdeg(spark, sf_dir):
+    """A2 via the text path: the same SNAP file read undirected (symmetrize
+    + dedup at build, CSRGraph.py:452-461) -> densify -> full degree per
+    dense id."""
+    from tcr_kcore_spark.sources.edgelist import read_edgelist
+    from tcr_kcore_spark.superstep import propagate_release
+
+    path = _snap_edgelist_file(spark, sf_dir)
+    g, idmap = read_edgelist(spark, path, directed=False, densify=True)
+    out = g.edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    return propagate_release(out, idmap)
+
+
 def q_corpus_edges(spark, sf_dir):
     """North_rule ingest pipeline end-to-end: deterministic synthetic corpus
     (repo, path, commit, lang, content) -> vectorized import extraction ->
@@ -897,6 +1048,10 @@ def q_corpus_pagerank(spark, sf_dir):
 
 _EXTRA_QUERIES = {
     "louvain_p1": q_louvain,
+    "edgelist_wdeg": q_edgelist_wdeg,
+    "edgelist_symdeg": q_edgelist_symdeg,
+    "quality_score": q_quality_score,
+    "louvain_full": q_louvain_full,
     "corpus_edges": q_corpus_edges,
     "corpus_invariant": q_corpus_invariant,
     "corpus_pagerank": q_corpus_pagerank,
@@ -910,6 +1065,9 @@ _EXTRA_QUERIES = {
 }
 _EXTRA_ORACLES = {
     "jaccard2_pairs": JACCARD2_SQL,
+    "edgelist_wdeg": EDGELIST_WDEG_SQL,
+    "edgelist_symdeg": EDGELIST_SYMDEG_SQL,
+    "quality_score": _quality_score_sql(),
     "lang_id": _lang_id_sql(),
     "louvain_p1": _louvain_sql(2, 1e-9),
 }

@@ -58,10 +58,15 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_df: int | None = 10_000,
+    max_df: int | None = None,
 ) -> DataFrame:
     """(a, b, jaccard) for all pairs with shingle-set Jaccard ≥ threshold,
     a < b, via an inverted-index join.
+
+    The default (``max_df=None``) computes EXACT classic Jaccard; callers
+    at web scale should opt into a document-frequency cap explicitly (the
+    contract query passes ``JACCARD_MAX_DF``), because the cap changes the
+    reported similarity space.
 
     ``max_df`` caps posting-list length: shingles occurring in more than
     ``max_df`` documents are dropped from the shingle space BEFORE the

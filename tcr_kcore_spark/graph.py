@@ -72,14 +72,22 @@ class LinkGraph:
             if set(e.columns) == set(EDGE_COLS):
                 e = e.distinct()
             else:
-                # keep one attribute row per (src, dst) with an explicit,
-                # deterministic tie-break: the per-column MINIMUM (for the
-                # usual single `weight` column this is min-weight, which is
-                # also what SSSP semantics want for parallel edges).
-                # dropDuplicates would be partition-order dependent.
+                # keep one WHOLE attribute row per (src, dst) with an
+                # explicit, deterministic tie-break: min over the row struct
+                # ordered with weight first (min-weight survives — what SSSP
+                # wants for parallel edges — and the other attributes come
+                # from that same surviving row).  A per-column min would
+                # tear correlated attributes into a row that existed on no
+                # input; dropDuplicates would be partition-order dependent.
                 extra = [c for c in e.columns if c not in EDGE_COLS]
-                e = e.groupBy("src", "dst").agg(
-                    *[F.min(c).alias(c) for c in extra]
+                e = (
+                    e.groupBy("src", "dst")
+                    .agg(F.min(F.struct(*extra)).alias("__row"))
+                    .select(
+                        "src",
+                        "dst",
+                        *[F.col(f"__row.{c}").alias(c) for c in extra],
+                    )
                 )
         return LinkGraph(edges=e, directed=directed)
 
@@ -208,16 +216,25 @@ class LinkGraph:
         off_df = counted.sparkSession.createDataFrame(
             [(pid, off) for pid, off in offsets.items()], "pid int, off long"
         )
-        return (
+        out = (
             counted.withColumn("pid", F.spark_partition_id())
             .join(F.broadcast(off_df), "pid")
             .select(F.col("id").alias("orig"), (F.col("pos") + F.col("off")).alias("id"))
         )
+        # materialize the mapping, then free the pid-pinning cache (round 2
+        # leaked `counted` for the session); callers release the mapping's
+        # own blocks via superstep.release_state when done
+        from tcr_kcore_spark.superstep import truncate_lineage
+
+        out = truncate_lineage(out)
+        counted.unpersist()
+        return out
 
     def densify(self) -> tuple["LinkGraph", DataFrame]:
-        """Rewrite edges onto dense ids; returns (graph, mapping)."""
+        """Rewrite edges onto dense ids; returns (graph, mapping).  The
+        mapping is materialized (lineage-truncated); free its blocks with
+        ``superstep.release_state(mapping)`` when done."""
         m = self.dense_id_map()
-        m.persist()
         e = (
             self.edges.join(m.withColumnRenamed("orig", "src").withColumnRenamed("id", "new_src"), "src")
             .join(m.withColumnRenamed("orig", "dst").withColumnRenamed("id", "new_dst"), "dst")

@@ -6,7 +6,7 @@ from tcr_kcore_spark.operators.bfs import bfs
 from tcr_kcore_spark.operators.components import connected_components
 from tcr_kcore_spark.operators.hits import hits
 from tcr_kcore_spark.operators.kcore import kcore, kcore_hindex_rounds
-from tcr_kcore_spark.operators.louvain import louvain_aggregate, louvain_phase1
+from tcr_kcore_spark.operators.louvain import louvain, louvain_aggregate, louvain_phase1
 from tcr_kcore_spark.operators.lpa import label_propagation
 from tcr_kcore_spark.operators.pagerank import pagerank
 from tcr_kcore_spark.operators.sssp import sssp
@@ -19,6 +19,7 @@ __all__ = [
     "kcore",
     "kcore_hindex_rounds",
     "label_propagation",
+    "louvain",
     "louvain_aggregate",
     "louvain_phase1",
     "pagerank",

@@ -29,7 +29,7 @@ from tcr_kcore_spark.plans.partitioning import (
     plan_superstep_edges,
     state_side,
 )
-from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
+from tcr_kcore_spark.superstep import SuperstepStats, propagate_release, run_supersteps
 
 
 def connected_components(
@@ -103,7 +103,7 @@ def _hashmin(
         name="cc_hashmin",
         resume=resume,
     )
-    out = state.select("id", "component")
+    out = propagate_release(state.select("id", "component"), state)
     edges.unpersist()
     return out, stats
 
@@ -181,4 +181,4 @@ def _alternating_star(
         isolated.join(parents, "id", "left_anti")
         .select("id", F.col("id").alias("component"))
     )
-    return parents.unionByName(roots), stats
+    return propagate_release(parents.unionByName(roots), state), stats

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from tcr_kcore_spark.graph import LinkGraph
 from tcr_kcore_spark.plans.partitioning import broadcast_max_rows, state_side
-from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
+from tcr_kcore_spark.superstep import SuperstepStats, propagate_release, run_supersteps
 
 
 def hits(
@@ -50,17 +50,41 @@ def hits(
         "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"), F.lit(1.0).alias("delta")
     )
 
+    # Per-step caches: each normalized score frame is consumed up to three
+    # times within a superstep (the norm action, the opposite-side gather,
+    # and the final output join).  Unpersisting right after the norm action
+    # (round 2) made every later consumer re-derive the whole E-sized join
+    # chain, multiplying the per-superstep edge-join cost ~3x.  Instead the
+    # cache is HELD until run_supersteps has materialized the step
+    # (truncate_lineage is eager), and released at the start of the next
+    # step — so exactly one auth join + one hub join execute per superstep.
+    held: list[DataFrame] = []
+
+    def _release_held() -> None:
+        for df in held:
+            df.unpersist()
+        held.clear()
+
+    # A/B switch for the bench evidence only (SPARK_GRAFT_HITS_HOLD=0
+    # reproduces the round-2 immediate-unpersist behavior; default holds)
+    import os as _os
+
+    hold = _os.environ.get("SPARK_GRAFT_HITS_HOLD", "1") != "0"
+
     def _l2_normalize(df: DataFrame, col: str) -> DataFrame:
-        # persist only for the two passes (norm action + downstream read),
-        # then unpersist so supersteps don't accumulate cached blocks; the
-        # one recompute after unpersist is a cheap V-row join
         df = df.persist()
+        if hold:
+            held.append(df)
         norm = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col)))).first()[0] or 1.0
         out = df.withColumn(col, F.col(col) / F.lit(norm))
-        df.unpersist()
+        if not hold:
+            df.unpersist()
         return out
 
     def step(state: DataFrame, i: int) -> DataFrame:
+        # caches from step i-1: safe to drop — state is already a
+        # materialized (lineage-truncated) scan that no longer reads them
+        _release_held()
         hubs = state_side(state.select(F.col("id").alias("src"), "hub"), bcast)
         new_auth = (
             edges.join(hubs, "src")
@@ -111,7 +135,8 @@ def hits(
         name="hits",
         resume=resume,
     )
-    out = state.select("id", "hub", "auth")
+    out = propagate_release(state.select("id", "hub", "auth"), state)
+    _release_held()
     edges.unpersist()
     if edges_by_dst is not edges:
         edges_by_dst.unpersist()

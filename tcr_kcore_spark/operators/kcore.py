@@ -45,6 +45,7 @@ from tcr_kcore_spark.plans.partitioning import (
     state_side,
 )
 from tcr_kcore_spark.superstep import (
+    propagate_release,
     SuperstepStats,
     release_state,
     run_supersteps,
@@ -225,7 +226,7 @@ def _hindex(
         resume=resume,
         truncate_every=truncate_every,
     )
-    out = state.select("id", F.col("est").alias("coreness"))
+    out = propagate_release(state.select("id", F.col("est").alias("coreness")), state)
     edges.unpersist()
     return out, stats
 
@@ -248,16 +249,25 @@ def kcore_hindex_rounds(
     while i < rounds:
         lazy = est
         k = 0
+        held = []
         while k < truncate_every and i + k < rounds:
             lazy = _hindex_round(edges, lazy, bcast=bcast, hub_safe=hub_safe).select(
                 "id", "est"
             )
             k += 1
+            if k < truncate_every and i + k < rounds:
+                # cache intermediate chained states so the next round's
+                # multiple reads don't re-evaluate the h-window subtree
+                # (see run_supersteps for the rationale)
+                lazy = lazy.persist()
+                held.append(lazy)
         new_est = truncate_lineage(lazy)
+        for h in held:
+            h.unpersist()
         release_state(est)
         est = new_est
         i += k
-    out = est.select("id", F.col("est").alias("coreness"))
+    out = propagate_release(est.select("id", F.col("est").alias("coreness")), est)
     edges.unpersist()
     return out
 
@@ -273,36 +283,71 @@ def _bz_finish_kernel(k_floor: int):
     BZ on the residual (whose degree table already reflects every remote
     decrement) assigns exactly the original coreness.  Runs as ONE
     applyInPandas group: the Arrow batch is the whole residual edge block
-    (the "CSR block" — reference phase 2 on one device)."""
+    (the "CSR block" — reference phase 2 on one device).
+
+    Array formulation of the bin-sorted BZ algorithm (the same layout as
+    the reference's multicore phase, ``PKC/pkc.c:267-349``): a NumPy CSR
+    block (``row_ptr`` via cumsum of bincount), vertices bin-sorted by
+    degree (``argsort`` + position/bin_start arrays), then the O(E)
+    process-in-degree-order loop with swap-to-bin-front decrements.
+    ~16 bytes/edge + ~40 bytes/vertex — vs ~100+ bytes/edge for the
+    round-2 dict-of-sets version.  ``core[v] = max(k_floor, running max of
+    deg[v] at processing)``: residual degrees ≤ k_floor mean "would have
+    been peeled at the current distributed k", so they take k_floor."""
 
     def kernel(pdf):
+        import numpy as np
         import pandas as pd
 
-        adj: dict[int, set] = {}
-        for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
-            adj.setdefault(int(s), set()).add(int(d))
-        deg = {v: len(ns) for v, ns in adj.items()}
-        core: dict[int, int] = {}
-        alive = set(adj)
+        src = pdf["src"].to_numpy(dtype="int64", copy=False)
+        dst = pdf["dst"].to_numpy(dtype="int64", copy=False)
+        # densify ids (the table is symmetric, so src covers every endpoint;
+        # use the union anyway for safety with weird inputs)
+        ids = np.unique(np.concatenate([src, dst]))
+        s = np.searchsorted(ids, src)
+        d = np.searchsorted(ids, dst)
+        n = ids.shape[0]
+        # CSR block: counting sort by src
+        deg = np.bincount(s, minlength=n)
+        row_ptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(deg, out=row_ptr[1:])
+        order = np.argsort(s, kind="stable")
+        adj = d[order]
+        # bin sort by degree: vert = vertices in ascending-degree order,
+        # pos = each vertex's index in vert, bin_start[dg] = first index of
+        # degree dg in vert (PKC pkc.c:267-349 layout)
+        vert = np.argsort(deg, kind="stable").astype(np.int64)
+        pos = np.empty(n, dtype=np.int64)
+        pos[vert] = np.arange(n, dtype=np.int64)
+        max_deg = int(deg.max()) if n else 0
+        bin_start = np.zeros(max_deg + 2, dtype=np.int64)
+        np.cumsum(np.bincount(deg, minlength=max_deg + 1), out=bin_start[1:])
+        core = np.empty(n, dtype=np.int64)
+        deg = deg.astype(np.int64)
         k = k_floor
-        while alive:
-            mn = min(deg[v] for v in alive)
-            k = max(k, mn)
-            peel = [v for v in alive if deg[v] <= k]
-            while peel:
-                v = peel.pop()
-                if v not in alive:
-                    continue
-                core[v] = k
-                alive.discard(v)
-                for u in adj[v]:
-                    if u in alive:
-                        deg[u] -= 1
-                        if deg[u] <= k:
-                            peel.append(u)
-        return pd.DataFrame(
-            {"id": list(core.keys()), "coreness": list(core.values())}
-        ).astype("int64")
+        for i in range(n):
+            v = vert[i]
+            dv = deg[v]
+            if dv > k:
+                k = dv
+            core[v] = k
+            for j in range(row_ptr[v], row_ptr[v + 1]):
+                u = adj[j]
+                du = deg[u]
+                if du > dv:
+                    # swap u with the first vertex of its degree bin, then
+                    # shrink the bin — u drops one degree in O(1)
+                    pu = pos[u]
+                    pw = bin_start[du]
+                    w = vert[pw]
+                    if u != w:
+                        vert[pu] = w
+                        vert[pw] = u
+                        pos[u] = pw
+                        pos[w] = pu
+                    bin_start[du] = pw + 1
+                    deg[u] = du - 1
+        return pd.DataFrame({"id": ids, "coreness": core})
 
     return kernel
 
@@ -395,15 +440,17 @@ def _peel(
         if acc is not None:
             release_state(acc)
         for handle, _ in pending:
-            handle.unpersist()
+            release_state(handle)  # frees plain persists AND truncated frames
         pending.clear()
         return new_acc
 
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
-    total_alive = deg.count()
-    alive = total_alive
-    last_shrink = total_alive
+    # ONE driver action yields both the alive count and the next round's
+    # minimum degree (round 2 ran them as two separate jobs per round)
+    bounds = deg.agg(F.count(F.lit(1)).alias("n"), F.min("deg").alias("mn")).first()
+    alive, min_deg = bounds["n"], bounds["mn"]
+    last_shrink = alive
     rounds_since_ckpt = 0
     local_finished = False
     while alive > 0 and stats.supersteps < max_iter:
@@ -427,13 +474,12 @@ def _peel(
                 isolated = deg.join(local, "id", "left_anti").select(
                     "id", floor.alias("coreness")
                 )
-                pending.append((residual, local.unionByName(isolated)))
                 residual.unpersist()
+                # `local` (a truncated frame) is the handle _flush releases
+                pending.append((local, local.unionByName(isolated)))
                 local_finished = True
                 break
             residual.unpersist()
-        bounds = deg.agg(F.min("deg").alias("mn")).first()
-        min_deg = bounds["mn"]
         # jump k to the smallest remaining degree (same output as k += 1
         # through empty rounds — KCore_new_v3 pays a full round per k)
         k = min_deg if k is None else max(k, min_deg)
@@ -442,6 +488,8 @@ def _peel(
         n_peeled = peeled.count()
         stats.supersteps += 1
         if n_peeled == 0:
+            # unreachable with the min-degree jump (some vertex always has
+            # deg ≤ k = max(k, min_deg)); kept as a safety valve
             k += 1
             peeled.unpersist()
             continue
@@ -468,7 +516,10 @@ def _peel(
             )
         )
         new_deg = truncate_lineage(new_deg)  # cut plan + stats growth per round
-        alive = new_deg.count()
+        bounds = new_deg.agg(
+            F.count(F.lit(1)).alias("n"), F.min("deg").alias("mn")
+        ).first()
+        alive, min_deg = bounds["n"], bounds["mn"]
         release_state(deg)
         deg = new_deg
         # peeled stays persisted until its batch folds into acc (_flush)

@@ -50,7 +50,13 @@ from tcr_kcore_spark.plans.partitioning import (
     plan_superstep_edges,
     state_side,
 )
-from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
+from tcr_kcore_spark.superstep import (
+    propagate_release,
+    SuperstepStats,
+    release_state,
+    run_supersteps,
+    truncate_lineage,
+)
 
 GAIN_THRESHOLD = 0.012  # reference MODULARITY_UPDATE_THRESHOLD, Louvain.py:33
 
@@ -190,6 +196,77 @@ def louvain_phase1(
         max_iter=max_rounds,
         name="louvain_p1",
     )
-    out = state.select("id", F.col("comm").alias("community"))
+    out = propagate_release(state.select("id", F.col("comm").alias("community")), state)
     edges.unpersist()
     return out, stats
+
+
+def louvain(
+    graph: LinkGraph,
+    max_levels: int = 10,
+    max_rounds: int = 10,
+    weight_col: str = "weight",
+    gain_threshold: float = GAIN_THRESHOLD,
+) -> tuple[DataFrame, list[SuperstepStats]]:
+    """Full multi-level Louvain — the reference's outer loop
+    (``TCR/src/demo/Louvain.py:171+``): phase 1 until no vertex moves, then
+    phase 2 community aggregation, repeated on the condensed graph until a
+    level produces zero moves (or ``max_levels``).
+
+    Returns ``((id, community), stats_per_level)`` with ``id`` over the
+    ORIGINAL vertex set and ``community`` the final top-level community —
+    the per-level assignments composed through each condensation (the
+    reference likewise re-labels the original vertices through the level
+    mapping).  Level-2+ inputs keep the condensed ``(c, c)`` self-weights
+    (internal community weight), which ``from_edges`` would drop — so the
+    symmetric closure is built here, not via the constructor.
+    """
+    cur = graph.undirected_view()
+    wc = weight_col  # the input graph's weight column; condensed levels use "weight"
+    cur_edges: DataFrame | None = None  # truncated handle for level ≥ 2
+    mapping: DataFrame | None = None
+    all_stats: list[SuperstepStats] = []
+    for level in range(max_levels):
+        lvl, st = louvain_phase1(
+            cur,
+            max_rounds=max_rounds,
+            weight_col=wc,
+            gain_threshold=gain_threshold,
+        )
+        all_stats.append(st)
+        # lvl is already a (released-on-release_state) view over the
+        # phase-1 superstep's truncated state — re-truncating here would
+        # copy the blocks AND drop the release handles (a leak)
+        moved = lvl.where(F.col("community") != F.col("id")).limit(1).count() > 0
+        if mapping is None:
+            new_mapping = lvl
+        else:
+            # compose: orig id -> level-(L-1) community -> level-L community
+            new_mapping = truncate_lineage(
+                mapping.select("id", F.col("community").alias("c")).join(
+                    lvl.select(F.col("id").alias("c"), "community"), "c"
+                ).select("id", "community")
+            )
+            release_state(mapping)
+        mapping = new_mapping
+        if not moved or level == max_levels - 1:
+            if mapping is not lvl:
+                release_state(lvl)
+            break
+        # condense (phase 2) and build the next level's symmetric table,
+        # keeping (c, c) self-pairs with their internal weight
+        condensed = louvain_aggregate(cur, lvl.select("id", "community"), weight_col=wc)
+        rev = condensed.where(F.col("src") != F.col("dst")).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+        next_edges = truncate_lineage(condensed.unionByName(rev))
+        if cur_edges is not None:
+            release_state(cur_edges)
+        if mapping is not lvl:
+            release_state(lvl)
+        cur_edges = next_edges
+        cur = LinkGraph(cur_edges, directed=False)
+        wc = "weight"  # condensed levels always carry weights
+    if cur_edges is not None:
+        release_state(cur_edges)
+    return propagate_release(mapping.select("id", "community"), mapping), all_stats

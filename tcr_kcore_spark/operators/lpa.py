@@ -25,7 +25,7 @@ from tcr_kcore_spark.plans.partitioning import (
     plan_superstep_edges,
     state_side,
 )
-from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
+from tcr_kcore_spark.superstep import SuperstepStats, propagate_release, run_supersteps
 
 
 def lpa_round(edges: DataFrame, labels: DataFrame, bcast: bool = True) -> DataFrame:
@@ -86,4 +86,4 @@ def label_propagation(
         resume=resume,
     )
     edges.unpersist()
-    return state.select("id", "label"), stats
+    return propagate_release(state.select("id", "label"), state), stats

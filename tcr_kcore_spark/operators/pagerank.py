@@ -36,7 +36,7 @@ from tcr_kcore_spark.plans.partitioning import (
     plan_superstep_edges,
     state_side,
 )
-from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
+from tcr_kcore_spark.superstep import SuperstepStats, propagate_release, run_supersteps
 
 
 def pagerank(
@@ -136,7 +136,7 @@ def pagerank(
         resume=resume,
         truncate_every=truncate_every,
     )
-    result = state.select("id", "rank")
+    result = propagate_release(state.select("id", "rank"), state)
     edges_w.unpersist()
     verts.unpersist()
     if dangling:

@@ -18,7 +18,7 @@ from tcr_kcore_spark.plans.partitioning import (
     plan_superstep_edges,
     state_side,
 )
-from tcr_kcore_spark.superstep import SuperstepStats, run_supersteps
+from tcr_kcore_spark.superstep import SuperstepStats, propagate_release, run_supersteps
 
 
 def sssp(
@@ -95,6 +95,6 @@ def sssp(
         name="sssp",
         resume=resume,
     )
-    out = state.select("id", F.col("dist").alias("distance"))
+    out = propagate_release(state.select("id", F.col("dist").alias("distance")), state)
     edges.unpersist()
     return out, stats

@@ -50,7 +50,12 @@ def _oriented(g: LinkGraph) -> DataFrame:
 
 
 def triangles_per_vertex(g: LinkGraph) -> DataFrame:
-    """(id, triangles) — vertices in no triangle get 0."""
+    """(id, triangles) — vertices in no triangle get 0.
+
+    Returns a MATERIALIZED (lineage-truncated) frame; callers that want the
+    cached blocks back call ``superstep.release_state`` on the result."""
+    from tcr_kcore_spark.superstep import truncate_lineage
+
     o = _oriented(g).persist()
     o.count()
     # wedges centered at the oriented source, legs ordered by the SAME
@@ -71,11 +76,11 @@ def triangles_per_vertex(g: LinkGraph) -> DataFrame:
         )
     )
     closing = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    tris = w.join(closing, ["u", "v"], "left_semi").persist()
+    tris = w.join(closing, ["u", "v"], "left_semi")
+    # credit all three corners in ONE pass (explode), so the closed-wedge
+    # stream is consumed exactly once and needs no cache of its own
     per_vertex = (
-        tris.select(F.col("apex").alias("id"))
-        .unionByName(tris.select(F.col("u").alias("id")))
-        .unionByName(tris.select(F.col("v").alias("id")))
+        tris.select(F.explode(F.array("apex", "u", "v")).alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
@@ -85,22 +90,32 @@ def triangles_per_vertex(g: LinkGraph) -> DataFrame:
         .join(per_vertex, "id", "left")
         .select("id", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"))
     )
+    # materialize, then free the oriented edge cache — round 2 leaked both
+    # o and tris for the lifetime of the session
+    out = truncate_lineage(out)
+    o.unpersist()
     return out
 
 
 def triangle_count(g: LinkGraph) -> DataFrame:
     """Single-row (total_triangles) — reference's global Σ/3."""
     per_v = triangles_per_vertex(g)
-    return per_v.agg((F.sum("triangles") / 3).cast("long").alias("total_triangles"))
+    out = per_v.agg((F.sum("triangles") / 3).cast("long").alias("total_triangles"))
+    from tcr_kcore_spark.superstep import propagate_release
+
+    # release_state(out) then frees per_v's cached blocks too
+    return propagate_release(out, per_v)
 
 
 def local_clustering_coefficient(g: LinkGraph) -> DataFrame:
     """(id, lcc) with C_v = 2·tri_v/(deg_v·(deg_v−1)), 0 when deg<2
     (reference NaN→0, ``LocalClusteringCoeffcient.py:87-91``)."""
+    from tcr_kcore_spark.superstep import propagate_release
+
     und = g.undirected_view()
     deg = und.degrees()
     tri = triangles_per_vertex(g)
-    return (
+    out = (
         tri.join(deg, "id")
         .select(
             "id",
@@ -112,3 +127,4 @@ def local_clustering_coefficient(g: LinkGraph) -> DataFrame:
             .alias("lcc"),
         )
     )
+    return propagate_release(out, tri)

@@ -40,9 +40,15 @@ def read_edgelist(
 ):
     """Read a text edge list into a LinkGraph.
 
-    ``n_attrs``: number of extra attribute columns to keep (None =
-    autodetect from the first data line).  Returns ``LinkGraph`` or, when
-    ``densify=True``, ``(LinkGraph, id_map)`` with ``id_map = (orig, id)``.
+    ``n_attrs``: number of extra attribute columns to keep.  ``None``
+    autodetects under a UNIFORM-WIDTH assumption, validated with one
+    aggregate scan (``min(size) == max(size)``) that fails loudly on
+    ragged input — a first()-based probe would be partition-order
+    dependent and would turn short lines into silent nulls.  Pass
+    ``n_attrs`` explicitly to skip the validation scan (short lines then
+    yield nulls in the missing attribute columns, by contract).
+    Returns ``LinkGraph`` or, when ``densify=True``,
+    ``(LinkGraph, id_map)`` with ``id_map = (orig, id)``.
     """
     lines = spark.read.text(path).select(F.trim(F.col("value")).alias("line"))
     data = lines.where(
@@ -50,8 +56,18 @@ def read_edgelist(
     ).select(F.split("line", r"\s+").alias("f"))
 
     if n_attrs is None:
-        first = data.select(F.size("f").alias("n")).first()
-        n_attrs = max(int(first["n"]) - 2, 0) if first else 0
+        row = data.agg(
+            F.min(F.size("f")).alias("lo"), F.max(F.size("f")).alias("hi")
+        ).first()
+        if row is None or row["lo"] is None:
+            n_attrs = 0
+        elif row["lo"] != row["hi"]:
+            raise ValueError(
+                f"ragged edge list {path!r}: line widths range "
+                f"{row['lo']}..{row['hi']}; pass n_attrs explicitly"
+            )
+        else:
+            n_attrs = max(int(row["lo"]) - 2, 0)
 
     cols = [
         F.element_at("f", 1).cast("long").alias("src"),

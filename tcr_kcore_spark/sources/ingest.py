@@ -78,11 +78,18 @@ def file_ids(files: DataFrame) -> DataFrame:
         offsets.append((r["pid"], acc))
         acc += r["n"]
     off_df = files.sparkSession.createDataFrame(offsets, "pid int, off long")
-    return (
+    out = (
         counted.withColumn("pid", F.spark_partition_id())
         .join(F.broadcast(off_df), "pid")
         .select("repo", "path", (F.col("pos") + F.col("off")).alias("id"))
     )
+    # materialize the id map, then free the pid-pinning cache; callers
+    # release the map's blocks via superstep.release_state when done
+    from tcr_kcore_spark.superstep import truncate_lineage
+
+    out = truncate_lineage(out)
+    counted.unpersist()
+    return out
 
 
 def extract_imports(corpus: DataFrame) -> DataFrame:
@@ -121,10 +128,12 @@ def extract_imports(corpus: DataFrame) -> DataFrame:
 
 def corpus_to_edges(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Returns (edges, id_map): edges = (src, dst) dense file ids, deduped,
-    self-imports dropped; id_map = (repo, path, id)."""
+    self-imports dropped; id_map = (repo, path, id).  Both are materialized
+    (lineage-truncated); free with ``superstep.release_state``."""
+    from tcr_kcore_spark.superstep import truncate_lineage
+
     files = file_table(corpus).persist()
-    ids = file_ids(files).persist()
-    ids.count()
+    ids = file_ids(files)  # already materialized by file_ids
 
     imports = extract_imports(corpus)
     # resolve target (repo, file_num) -> (repo, path)
@@ -171,6 +180,8 @@ def corpus_to_edges(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
+    edges = truncate_lineage(edges)
+    files.unpersist()  # edges + ids are bare scans now; nothing reads files
     return edges, ids
 
 

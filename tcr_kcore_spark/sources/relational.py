@@ -50,8 +50,12 @@ def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # parts are offset into their own id range so the order→part graph is a
-# proper directed graph whose part vertices have NO out-edges (dangling)
-ORDER_PART_OFFSET = 1_000_000_000
+# proper directed graph whose part vertices have NO out-edges (dangling).
+# 2^40 sits far above any scale factor's orderkey range (TPC-H sparse
+# orderkeys reach ~6M·SF — 1e9 would collide around SF ≈ 170 and silently
+# merge order and part vertices); the DuckDB oracle CTE uses the same
+# literal.
+ORDER_PART_OFFSET = 1 << 40
 
 
 def order_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,7 +68,7 @@ def order_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Equivalent oracle SQL::
 
         SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS src,
-               CAST(l_partkey AS BIGINT) + 1000000000 AS dst
+               CAST(l_partkey AS BIGINT) + 1099511627776 AS dst
         FROM lineitem
     """
     li = load_table(spark, sf_dir, "lineitem")

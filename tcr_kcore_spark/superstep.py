@@ -77,6 +77,14 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
         jschema = jdf.schema()
         new_jdf = spark._jsparkSession.internalCreateDataFrame(jrdd, jschema, False)
         out = DataFrame(new_jdf, spark)
+        # The handle release_state must free: localCheckpoint persists the
+        # LogicalRDD's underlying RDD directly in the block manager — it is
+        # NOT in the CacheManager, so DataFrame.unpersist() is a silent
+        # no-op on it.  Stash the JVM RDD itself.
+        try:
+            out._ckpt_jrdd = jdf.queryExecution().analyzed().rdd()
+        except Exception:
+            pass
     except Exception:
         import tempfile
 
@@ -91,9 +99,31 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
     return out
 
 
+def propagate_release(out: DataFrame, source: DataFrame) -> DataFrame:
+    """Attach ``source``'s release handles to ``out`` so that
+    ``release_state(out)`` frees the blocks/scratch behind ``source``
+    (used when an operator returns a lazy view over a truncated frame)."""
+    src = getattr(source, "_ckpt_source", None)
+    out._ckpt_source = src if src is not None else source
+    jrdd = getattr(source, "_ckpt_jrdd", None)
+    if jrdd is not None:
+        out._ckpt_jrdd = jrdd
+    scratch = getattr(source, "_scratch_dir", None)
+    if scratch:
+        out._scratch_dir = scratch
+    return out
+
+
 def release_state(df: DataFrame) -> None:
     """Free the cached blocks (or scratch parquet) behind a
-    truncate_lineage() result."""
+    truncate_lineage() result.  The frame must not be read afterwards —
+    its lineage is a bare scan of the freed blocks."""
+    jrdd = getattr(df, "_ckpt_jrdd", None)
+    if jrdd is not None:
+        try:
+            jrdd.unpersist(False)
+        except Exception:
+            pass
     src = getattr(df, "_ckpt_source", None)
     try:
         (src if src is not None else df).unpersist()
@@ -220,10 +250,25 @@ def run_supersteps(
         prev = state
         lazy = state
         k = 0
+        held: list[DataFrame] = []
         while k < truncate_every and i + k < max_iter:
             lazy = step_fn(lazy, i + k)
             k += 1
+            if k < truncate_every and i + k < max_iter:
+                # Intermediate chained state: the NEXT step's plan consumes
+                # it several times (message join, apply join, changed-set
+                # pruning), and without a cache the whole subtree — window
+                # aggregations included — re-evaluates per consumer inside
+                # the one chained job.  persist() is lazy, so the chain
+                # still runs as a single job; the cache is dropped as soon
+                # as the chain materializes.  K is small, so the plan/stat
+                # growth within one chain stays trivial (truncate_lineage
+                # cuts it at the chain boundary).
+                lazy = lazy.persist()
+                held.append(lazy)
         new_state = truncate_lineage(lazy)
+        for h in held:
+            h.unpersist()
         i += k
         st.supersteps += k
         done = bool(converged(prev, new_state, i)) if converged else False

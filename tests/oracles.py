@@ -286,6 +286,91 @@ def louvain_phase1(
     return comm
 
 
+def _louvain_phase1_weighted(
+    entries: list[tuple[int, int, float]],
+    max_rounds: int,
+    gain_threshold: float,
+) -> dict[int, int]:
+    """Synchronous phase 1 over a WEIGHTED symmetric entry table (self
+    entries appear once, carrying internal community weight) — the exact
+    rule tcr_kcore_spark.operators.louvain_phase1 implements for level-2+
+    condensed graphs."""
+    verts = sorted({v for s, d, _ in entries for v in (s, d)})
+    m = sum(w for _, _, w in entries)
+    two_m = 2.0 * m
+    k = {v: 0.0 for v in verts}
+    for s, _, w in entries:
+        k[s] += w
+    comm = {v: v for v in verts}
+    for _ in range(max_rounds):
+        sum_tot: dict[int, float] = {}
+        for v in verts:
+            sum_tot[comm[v]] = sum_tot.get(comm[v], 0.0) + k[v]
+        sum_in: dict[int, float] = {}
+        for s, d, w in entries:
+            if comm[s] == comm[d]:
+                sum_in[comm[s]] = sum_in.get(comm[s], 0.0) + w
+        k_i_in: dict[int, dict[int, float]] = {v: {} for v in verts}
+        for s, d, w in entries:
+            c = comm[d]
+            k_i_in[s][c] = k_i_in[s].get(c, 0.0) + w
+        new = dict(comm)
+        moved = False
+        for u in verts:
+            best_gain, best_c = gain_threshold, None
+            for c, kin in sorted(k_i_in[u].items()):
+                if c == comm[u]:
+                    continue
+                si = sum_in.get(c, 0.0)
+                st = sum_tot.get(c, 0.0)
+                gain = ((si + 2.0 * kin) / two_m - ((st + k[u]) / two_m) ** 2) - (
+                    si / two_m - (st / two_m) ** 2 - (k[u] / two_m) ** 2
+                )
+                if gain > best_gain or (
+                    gain == best_gain and best_c is not None and c < best_c
+                ):
+                    best_gain, best_c = gain, c
+            if best_c is not None:
+                new[u] = best_c
+                moved = True
+        comm = new
+        if not moved:
+            break
+    return comm
+
+
+def louvain_full(
+    edges: list[tuple[int, int]],
+    max_levels: int = 10,
+    max_rounds: int = 10,
+    gain_threshold: float = 0.012,
+) -> dict[int, int]:
+    """Multi-level Louvain mirroring tcr_kcore_spark.operators.louvain:
+    phase1 → condense (canonical (min,max) pairs, (c,c) self-weights kept)
+    → phase1 on the symmetric closure, until a level makes no move."""
+    entries = [
+        (s, d, 1.0)
+        for s, d in sorted(
+            {(s, d) for s, d in edges if s != d} | {(d, s) for s, d in edges if s != d}
+        )
+    ]
+    mapping: dict[int, int] | None = None
+    for _ in range(max_levels):
+        comm = _louvain_phase1_weighted(entries, max_rounds, gain_threshold)
+        mapping = comm if mapping is None else {v: comm[c] for v, c in mapping.items()}
+        if all(c == v for v, c in comm.items()):
+            break
+        canon: dict[tuple[int, int], float] = {}
+        for s, d, w in entries:
+            key = (min(comm[s], comm[d]), max(comm[s], comm[d]))
+            canon[key] = canon.get(key, 0.0) + w
+        entries = sorted(
+            [(s, d, w) for (s, d), w in canon.items()]
+            + [(d, s, w) for (s, d), w in canon.items() if s != d]
+        )
+    return mapping
+
+
 def modularity(edges: list[tuple[int, int]], comm: dict[int, int]) -> float:
     """Q = Σ_C (Σin_C/(2m) − (Σtot_C/(2m))²) over the symmetric table."""
     sym = sorted({(s, d) for s, d in edges if s != d} | {(d, s) for s, d in edges if s != d})

@@ -113,10 +113,11 @@ def test_entry_smoke(spark):
     assert df.columns == ["id", "rank", "degree"]
 
 
-NEW_ORACLE = ["jaccard2_pairs", "lang_id", "louvain_p1"]
+NEW_ORACLE = ["jaccard2_pairs", "lang_id", "louvain_p1",
+              "edgelist_wdeg", "edgelist_symdeg", "quality_score"]
 ROWS_ONLY = ["minhash_pairs", "simhash_pairs", "lsh_topk", "media_features",
              "corpus_edges", "corpus_invariant", "corpus_pagerank",
-             "lsh_recall"]
+             "lsh_recall", "louvain_full"]
 
 
 def test_lsh_recall_meets_bar(spark):

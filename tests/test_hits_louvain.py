@@ -104,6 +104,51 @@ def test_louvain_aggregate_matches_reference_semantics(spark):
     assert got[(0, 0)] == 6.0 and got[(3, 3)] == 6.0 and got[(0, 3)] == 2.0
 
 
+@pytest.mark.parametrize(
+    "edges,thr",
+    [
+        # 4 triangles + weak bridges: level 1 collapses triangles, level 2
+        # merges along condensed bridges
+        (
+            [(3 * b + i, 3 * b + (i + 1) % 3) for b in range(4) for i in range(3)]
+            + [(2, 3), (5, 6), (8, 9)],
+            1e-9,
+        ),
+        (oracles.er_graph(n=60, avg_deg=6, seed=7), 0.0005),
+        (oracles.zipf_hub_graph(n=80, m=400, seed=3), 0.0005),
+    ],
+)
+def test_louvain_full_matches_numpy_oracle(spark, edges, thr):
+    """Packaged multi-level louvain() (Louvain.py:171+) == the NumPy
+    replica of the identical synchronous level loop, original ids."""
+    from tcr_kcore_spark.operators import louvain
+
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    got, stats = louvain(g, max_levels=5, max_rounds=4, gain_threshold=thr)
+    exp = oracles.louvain_full(edges, max_levels=5, max_rounds=4, gain_threshold=thr)
+    rows = {r["id"]: r["community"] for r in got.collect()}
+    assert rows == exp
+    assert len(stats) >= 1
+
+
+def test_louvain_full_runs_multiple_levels(spark):
+    """The bridged-triangles graph needs a second level to merge condensed
+    communities — asserts the loop actually iterates."""
+    from tcr_kcore_spark.operators import louvain
+
+    tris = [(3 * b + i, 3 * b + (i + 1) % 3) for b in range(4) for i in range(3)]
+    bridges = [(2, 3), (5, 6), (8, 9)]
+    g = LinkGraph.from_edges(edges_df(spark, tris + bridges), directed=False)
+    got, stats = louvain(g, max_levels=5, max_rounds=4, gain_threshold=1e-9)
+    assert len(stats) >= 2, "expected at least two Louvain levels"
+    n_final = got.select("community").distinct().count()
+    lvl1, _ = louvain_phase1(g, max_rounds=4, gain_threshold=1e-9)
+    n_lvl1 = lvl1.select("community").distinct().count()
+    assert n_final <= n_lvl1
+    # still a valid assignment over the original vertex set
+    assert got.count() == 12
+
+
 def test_louvain_two_level(spark):
     """phase1 -> aggregate -> phase1 on the condensed graph composes into
     a coarser assignment (the full Louvain loop, Louvain.py:171+)."""
