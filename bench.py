@@ -22,71 +22,101 @@ import sys
 import time
 
 
-def _run_headline(spark, sf_dir: str) -> dict:
-    from pyspark.sql import functions as F
-
+def _build(spark, sf_dir: str):
     from tcr_kcore_spark.graph import LinkGraph
-    from tcr_kcore_spark.operators import (
-        bfs,
-        connected_components,
-        kcore,
-        label_propagation,
-        pagerank,
-    )
-    from tcr_kcore_spark.operators.triangles import triangles_per_vertex
     from tcr_kcore_spark.sources.relational import cooccurrence_edges
+
+    g = LinkGraph(cooccurrence_edges(spark, sf_dir), directed=False)
+    n_edges = g.materialize()
+    return g, n_edges
+
+
+def _run_headline(sf_dir: str, cpus: int) -> dict:
+    """One fresh JVM session per query: a kernel measured as the Nth job of
+    a shared session is 1.5-5x slower than fresh (heap/GC contamination
+    from the previous 2.4M-row jobs — measured 2026-08-17: kcore fixpoint
+    19.8 s fresh vs 27-28 s as job 3).  Graph build+cache per session is
+    NOT counted in the query timing (build_graph is its own line, measured
+    once), matching the reference convention of timing the algorithm, not
+    the load."""
+    from pyspark.sql import functions as F
 
     timings: dict[str, float] = {}
     meta: dict[str, float] = {}
 
+    spark = _session(cpus, "bench_build")
     t = time.time()
-    g = LinkGraph(cooccurrence_edges(spark, sf_dir), directed=False)
-    n_edges = g.materialize()
+    g, n_edges = _build(spark, sf_dir)
     n_verts = g.vertices().count()
     timings["build_graph"] = round(time.time() - t, 3)
     meta["edges"] = n_edges
     meta["vertices"] = n_verts
+    spark.stop()
 
-    t = time.time()
-    pr, st = pagerank(g, tol=1e-6, max_iter=100, truncate_every=2)
-    pr.count()
-    timings["pagerank_conv"] = round(time.time() - t, 3)
-    meta["pagerank_supersteps"] = st.supersteps
-    meta["pagerank_supersteps_per_sec"] = round(st.supersteps / timings["pagerank_conv"], 3)
-    meta["pagerank_edges_per_sec"] = round(
-        st.supersteps * n_edges / timings["pagerank_conv"], 0
-    )
+    def cell(name: str, fn) -> None:
+        spark = _session(cpus, f"bench_{name}")
+        g, _ = _build(spark, sf_dir)
+        t = time.time()
+        extra = fn(spark, g)
+        timings[name] = round(time.time() - t, 3)
+        meta.update(extra or {})
+        spark.stop()
 
-    t = time.time()
-    cc, st = connected_components(g, mode="hashmin")
-    cc.count()
-    timings["components"] = round(time.time() - t, 3)
+    def q_pagerank(spark, g):
+        from tcr_kcore_spark.operators import pagerank
 
-    t = time.time()
-    kc, st = kcore(g, mode="hindex")  # tr=1: chaining h-rounds with
-    # changed-pruning re-evaluates the window subtree (measured 21s vs 34s)
-    kc.count()
-    timings["kcore"] = round(time.time() - t, 3)
-    meta["kcore_supersteps"] = st.supersteps
-    meta["kcore_edges_per_sec"] = round(st.supersteps * n_edges / timings["kcore"], 0)
+        pr, st = pagerank(g, tol=1e-6, max_iter=100, truncate_every=2)
+        pr.count()
+        return {
+            "pagerank_supersteps": st.supersteps,
+            "_pr_supersteps": st.supersteps,
+        }
 
-    t = time.time()
-    tri = triangles_per_vertex(g)
-    tri.count()
-    timings["triangles"] = round(time.time() - t, 3)
+    def q_components(spark, g):
+        from tcr_kcore_spark.operators import connected_components
 
-    t = time.time()
-    src = g.edges.agg(F.min("src")).first()[0]
-    d, _ = bfs(g, source=int(src))
-    d.count()
-    timings["bfs"] = round(time.time() - t, 3)
+        connected_components(g, mode="hashmin")[0].count()
 
-    t = time.time()
-    lp, _ = label_propagation(g, rounds=2)
-    lp.count()
-    timings["lpa_r2"] = round(time.time() - t, 3)
+    def q_kcore(spark, g):
+        from tcr_kcore_spark.operators import kcore
 
-    g.unpersist()
+        kc, st = kcore(g, mode="hindex")
+        kc.count()
+        return {"kcore_supersteps": st.supersteps}
+
+    def q_triangles(spark, g):
+        from tcr_kcore_spark.operators.triangles import triangles_per_vertex
+
+        triangles_per_vertex(g).count()
+
+    def q_bfs(spark, g):
+        from tcr_kcore_spark.operators import bfs
+
+        src = g.edges.agg(F.min("src")).first()[0]
+        bfs(g, source=int(src))[0].count()
+
+    def q_lpa(spark, g):
+        from tcr_kcore_spark.operators import label_propagation
+
+        label_propagation(g, rounds=2)[0].count()
+
+    cell("pagerank_conv", q_pagerank)
+    cell("components", q_components)
+    cell("kcore", q_kcore)
+    cell("triangles", q_triangles)
+    cell("bfs", q_bfs)
+    cell("lpa_r2", q_lpa)
+
+    prs = meta.pop("_pr_supersteps", 0)
+    if prs:
+        meta["pagerank_supersteps_per_sec"] = round(prs / timings["pagerank_conv"], 3)
+        meta["pagerank_edges_per_sec"] = round(
+            prs * n_edges / timings["pagerank_conv"], 0
+        )
+    if meta.get("kcore_supersteps"):
+        meta["kcore_edges_per_sec"] = round(
+            meta["kcore_supersteps"] * n_edges / timings["kcore"], 0
+        )
     return {"timings": timings, "meta": meta}
 
 
@@ -120,9 +150,7 @@ def main() -> None:
         _hub_run(sf_dir, sf, cpus)
         return
 
-    spark = _session(cpus, "bench")
-    result = _run_headline(spark, sf_dir)
-    spark.stop()
+    result = _run_headline(sf_dir, cpus)
     total = round(sum(result["timings"].values()), 3)
     out = {
         "metric": "headline_total_sec",

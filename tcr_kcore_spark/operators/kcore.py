@@ -33,6 +33,7 @@ skips zero-degree vertices (``KCoreGPU-master/.../src/graph.cpp:133-136``).
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, Window
@@ -255,7 +256,11 @@ def kcore_hindex_rounds(
                 "id", "est"
             )
             k += 1
-            if k < truncate_every and i + k < rounds:
+            if (
+                k < truncate_every
+                and i + k < rounds
+                and os.environ.get("SPARK_GRAFT_CHAIN_CACHE", "1") != "0"
+            ):
                 # cache intermediate chained states so the next round's
                 # multiple reads don't re-evaluate the h-window subtree
                 # (see run_supersteps for the rationale)

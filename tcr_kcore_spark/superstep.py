@@ -254,7 +254,11 @@ def run_supersteps(
         while k < truncate_every and i + k < max_iter:
             lazy = step_fn(lazy, i + k)
             k += 1
-            if k < truncate_every and i + k < max_iter:
+            if (
+                k < truncate_every
+                and i + k < max_iter
+                and os.environ.get("SPARK_GRAFT_CHAIN_CACHE", "1") != "0"
+            ):
                 # Intermediate chained state: the NEXT step's plan consumes
                 # it several times (message join, apply join, changed-set
                 # pruning), and without a cache the whole subtree — window
