@@ -76,11 +76,23 @@ def triangles_per_vertex(g: LinkGraph) -> DataFrame:
         )
     )
     closing = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    tris = w.join(closing, ["u", "v"], "left_semi")
-    # credit all three corners in ONE pass (explode), so the closed-wedge
-    # stream is consumed exactly once and needs no cache of its own
+    # cache the closed-wedge stream and credit the three corners via three
+    # cached scans + union.  Interleaved fresh-JVM A/B at sf0.1 (both
+    # variants materialized via truncate_lineage): unions-over-cache
+    # 7.4-12.4 s vs explode-one-pass 9.4-13.6 s — the explode/generate
+    # plan is ~10-20% slower than three cached scans.
+    #
+    # NOTE on timing this operator: without the truncate_lineage below,
+    # `triangles_per_vertex(g).count()` measures (almost) nothing —
+    # per_vertex has provably-unique keys after groupBy, so Catalyst's
+    # left-join elimination prunes the ENTIRE wedge-join subtree out of a
+    # bare count().  Round-2's 3.1 s headline triangles cell was that
+    # artifact; the true cost at sf0.1 is ~7-9 s.
+    tris = w.join(closing, ["u", "v"], "left_semi").persist()
     per_vertex = (
-        tris.select(F.explode(F.array("apex", "u", "v")).alias("id"))
+        tris.select(F.col("apex").alias("id"))
+        .unionByName(tris.select(F.col("u").alias("id")))
+        .unionByName(tris.select(F.col("v").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
@@ -90,9 +102,10 @@ def triangles_per_vertex(g: LinkGraph) -> DataFrame:
         .join(per_vertex, "id", "left")
         .select("id", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"))
     )
-    # materialize, then free the oriented edge cache — round 2 leaked both
-    # o and tris for the lifetime of the session
+    # materialize, then free BOTH scratch caches — round 2 leaked o and
+    # tris for the lifetime of the session
     out = truncate_lineage(out)
+    tris.unpersist()
     o.unpersist()
     return out
 
