@@ -84,6 +84,51 @@ def test_peel_path_graph_output_folds_logarithmic(spark):
     )
 
 
+def test_peel_round_driver_action_budget(spark):
+    """Each peel round issues TWO Python-level driver actions — the peel
+    count and ONE combined count+min aggregation (VERDICT r2 ask #6 merged
+    the former separate min(deg) and count() actions).  Counted by
+    wrapping DataFrame.count/first/collect; raw Spark job ids cannot
+    discriminate this because AQE splits one action into several jobs
+    (broadcast/shuffle query stages)."""
+    from pyspark.sql import DataFrame
+
+    from tcr_kcore_spark.graph import LinkGraph
+    from tcr_kcore_spark.operators import kcore
+    from tests.conftest import edges_df
+
+    n = 80
+    path = [(i, i + 1) for i in range(n - 1)]
+    g = LinkGraph.from_edges(edges_df(spark, path), directed=False)
+    g.materialize()
+    calls = {"n": 0}
+    orig = {m: getattr(DataFrame, m) for m in ("count", "first", "collect")}
+
+    def wrap(name):
+        def inner(self, *a, **k):
+            calls["n"] += 1
+            return orig[name](self, *a, **k)
+
+        return inner
+
+    for m in orig:
+        setattr(DataFrame, m, wrap(m))
+    try:
+        out, stats = kcore(g, mode="peel", local_finish_vertices=0)
+    finally:
+        for m, fn in orig.items():
+            setattr(DataFrame, m, fn)
+    rounds = stats.supersteps
+    assert rounds >= n // 2 - 2
+    # 2 actions/round + setup/fold slack; the unmerged shape needs
+    # 3/round and must fail this bound
+    budget = 2 * rounds + 20
+    assert calls["n"] <= budget, (calls["n"], rounds, budget)
+    rows = {r["id"]: r["coreness"] for r in out.collect()}
+    assert rows == {i: 1 for i in range(n)}
+    g.unpersist()
+
+
 def test_peel_checkpoint_resume_identical(spark, tmp_path):
     """Peel-mode phase checkpoint (reference deleted-bitmap semantics,
     KCore_big.py:252-259): interrupt mid-peel, resume from the survivor
