@@ -480,6 +480,22 @@ def q_triangles(spark, sf_dir):
     return triangles_per_vertex(_graph(spark, sf_dir))
 
 
+def q_tri_total(spark, sf_dir):
+    """Global triangle count (reference's Σ/3, ``TriangleCounting.py:75``)."""
+    from tcr_kcore_spark.operators.triangles import triangle_count
+
+    return triangle_count(_graph(spark, sf_dir))
+
+
+TRI_TOTAL_SQL = (
+    "WITH " + EDGES_CTE + ",\n"
+    "t AS MATERIALIZED (SELECT a.src AS id, CAST(count(*) / 2 AS BIGINT) AS tri "
+    "FROM edges a JOIN edges b ON a.dst = b.src AND a.src <> b.dst "
+    "JOIN edges c ON c.src = b.dst AND c.dst = a.src GROUP BY a.src)\n"
+    "SELECT CAST(sum(tri) / 3 AS BIGINT) AS total_triangles FROM t"
+)
+
+
 def q_lcc(spark, sf_dir):
     r = local_clustering_coefficient(_graph(spark, sf_dir))
     return r.select("id", F.round("lcc", 6).alias("lcc"))
@@ -1052,6 +1068,7 @@ _EXTRA_QUERIES = {
     "edgelist_symdeg": q_edgelist_symdeg,
     "quality_score": q_quality_score,
     "louvain_full": q_louvain_full,
+    "tri_total": q_tri_total,
     "corpus_edges": q_corpus_edges,
     "corpus_invariant": q_corpus_invariant,
     "corpus_pagerank": q_corpus_pagerank,
@@ -1068,6 +1085,7 @@ _EXTRA_ORACLES = {
     "edgelist_wdeg": EDGELIST_WDEG_SQL,
     "edgelist_symdeg": EDGELIST_SYMDEG_SQL,
     "quality_score": _quality_score_sql(),
+    "tri_total": TRI_TOTAL_SQL,
     "lang_id": _lang_id_sql(),
     "louvain_p1": _louvain_sql(2, 1e-9),
 }
