@@ -57,6 +57,57 @@ def superstep_plan(spark, sf_dir: str) -> str:
     return f"regime={'broadcast' if bcast else 'shuffle'} (V={n})\n" + plan
 
 
+def hindex_round_plan(spark, sf_dir: str) -> str:
+    """The OTHER headline kernel: one hub-safe h-operator application
+    (kcore.py:_hindex_round) — messages + distinct-value counts + running
+    sum.  Contract: the cached edge side joins without an Exchange; the
+    only hash Exchanges outside the cache carry map-side-combined
+    (id, nbr_est) counts and the per-vertex aggregation."""
+    from pyspark.sql import functions as F
+
+    from tcr_kcore_spark.graph import LinkGraph
+    from tcr_kcore_spark.operators.kcore import _hindex_round
+    from tcr_kcore_spark.plans.partitioning import (
+        broadcast_max_rows,
+        plan_superstep_edges,
+    )
+    from tcr_kcore_spark.sources.relational import cooccurrence_edges
+
+    from tcr_kcore_spark.superstep import release_state, truncate_lineage
+
+    g = LinkGraph(cooccurrence_edges(spark, sf_dir), directed=False)
+    n = g.vertices().count()
+    bcast = n <= broadcast_max_rows()
+    edges = plan_superstep_edges(g.edges.select("src", "dst"), bcast).persist()
+    edges.count()
+    # the state is a TRUNCATED frame in the real loop (bare scan) — passing
+    # a lazy degrees() here would wrongly count the one-time graph-build
+    # exchanges as per-superstep work
+    est = truncate_lineage(
+        g.degrees().select("id", F.col("degree").cast("long").alias("est"))
+    )
+    new = _hindex_round(edges, est, bcast=bcast, hub_safe=True)
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    edges.unpersist()
+    release_state(est)
+    return f"regime={'broadcast' if bcast else 'shuffle'} (V={n})\n" + plan
+
+
+def _report(title: str, plan: str, max_exchanges: int) -> None:
+    # everything below the first InMemoryRelation is the ONE-TIME cache
+    # build, not per-superstep work
+    top = plan.split("InMemoryRelation", 1)[0]
+    print("=" * 72)
+    print(f"[{title}]")
+    print(top)
+    n_ex = top.count("Exchange hashpartitioning")
+    verdict = "OK" if n_ex <= max_exchanges else "VIOLATION"
+    print(
+        f"--> per-superstep Exchange-hash ops (outside the cache): {n_ex} "
+        f"(bound {max_exchanges}) {verdict}"
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     for forced in (None, "0"):
@@ -73,14 +124,21 @@ def main() -> None:
                 "spark.sql.autoBroadcastJoinThreshold": "-1",
             },
         )
-        plan = superstep_plan(spark, sf_dir)
-        # everything below the first InMemoryRelation is the ONE-TIME cache
-        # build, not per-superstep work
-        top = plan.split("InMemoryRelation", 1)[0]
-        print("=" * 72)
-        print(top)
-        n_ex = top.count("Exchange hashpartitioning")
-        print(f"--> per-superstep Exchange-hash ops (outside the cache): {n_ex}")
+        # PageRank message superstep: 0 exchanges broadcast / 1 shuffle
+        _report(
+            "pagerank message superstep",
+            superstep_plan(spark, sf_dir),
+            0 if forced is None else 1,
+        )
+        # h-operator: broadcast regime reuses the dst partitioning through
+        # counts -> window -> max -> join (ZERO exchanges); shuffle regime
+        # pays 3 V-row-scale exchanges (state-to-edges, combined counts,
+        # window repartition) — never E-sized
+        _report(
+            "kcore h-operator round",
+            hindex_round_plan(spark, sf_dir),
+            0 if forced is None else 3,
+        )
         spark.stop()
 
 
