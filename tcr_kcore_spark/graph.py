@@ -79,10 +79,14 @@ class LinkGraph:
                 # from that same surviving row).  A per-column min would
                 # tear correlated attributes into a row that existed on no
                 # input; dropDuplicates would be partition-order dependent.
+                # The struct is built weight-first EXPLICITLY (not in caller
+                # column order) so a (src, dst, label, weight) frame still
+                # keeps the minimum weight; output column order is preserved.
                 extra = [c for c in e.columns if c not in EDGE_COLS]
+                tie_break = sorted(extra, key=lambda c: c != "weight")
                 e = (
                     e.groupBy("src", "dst")
-                    .agg(F.min(F.struct(*extra)).alias("__row"))
+                    .agg(F.min(F.struct(*tie_break)).alias("__row"))
                     .select(
                         "src",
                         "dst",

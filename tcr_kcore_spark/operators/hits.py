@@ -130,6 +130,11 @@ def hits(
         step,
         converged,
         max_iter=max_iter,
+        # Pinned: _release_held() at step entry is only safe because the
+        # incoming state is a materialized bare scan every step.  With
+        # truncate_every>1 the chained-lazy state would still reference the
+        # held norm caches after they are unpersisted (correct but 3x slow).
+        truncate_every=1,
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every,
         name="hits",

@@ -552,8 +552,11 @@ def _peel(
         coreness = spark.createDataFrame([], "id long, coreness long")
     else:
         coreness = acc
-    edges.unpersist()
-    deg.unpersist()
+    # release_state, not unpersist: after any distributed round deg (and
+    # after a shrink, edges) are truncate_lineage frames whose blocks a
+    # plain DataFrame.unpersist() silently leaves behind (superstep.py).
+    release_state(edges)
+    release_state(deg)
     stats.wall_secs = time.time() - t0
     stats.converged = True
     return coreness, stats

@@ -37,6 +37,7 @@ def read_edgelist(
     directed: bool = True,
     densify: bool = False,
     n_attrs: int | None = None,
+    probe_rows: int | None = None,
 ):
     """Read a text edge list into a LinkGraph.
 
@@ -44,9 +45,16 @@ def read_edgelist(
     autodetects under a UNIFORM-WIDTH assumption, validated with one
     aggregate scan (``min(size) == max(size)``) that fails loudly on
     ragged input — a first()-based probe would be partition-order
-    dependent and would turn short lines into silent nulls.  Pass
-    ``n_attrs`` explicitly to skip the validation scan (short lines then
-    yield nulls in the missing attribute columns, by contract).
+    dependent and would turn short lines into silent nulls.
+
+    COST: the autodetect validation is a SECOND complete pass over the
+    input before the real read.  Large-scale callers should pass
+    ``n_attrs`` explicitly (no probe at all; short lines then yield nulls
+    in the missing attribute columns, by contract), or set ``probe_rows``
+    to bound the probe to the first N data lines (limit-pushed, reads only
+    enough splits) — trading the loud whole-file ragged check for a
+    sampled one.
+
     Returns ``LinkGraph`` or, when ``densify=True``,
     ``(LinkGraph, id_map)`` with ``id_map = (orig, id)``.
     """
@@ -56,7 +64,8 @@ def read_edgelist(
     ).select(F.split("line", r"\s+").alias("f"))
 
     if n_attrs is None:
-        row = data.agg(
+        probe = data if probe_rows is None else data.limit(int(probe_rows))
+        row = probe.agg(
             F.min(F.size("f")).alias("lo"), F.max(F.size("f")).alias("hi")
         ).first()
         if row is None or row["lo"] is None:

@@ -27,6 +27,7 @@ import json
 import os
 import shutil
 import time
+import warnings
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -36,6 +37,10 @@ from pyspark.sql import functions as F
 # scratch dirs created by the parquet fallback of truncate_lineage; freed in
 # release_state once the consumer is done, and swept at exit as a backstop
 _SCRATCH_DIRS: set[str] = set()
+
+# one-shot flag: warn only once per process if the py4j accessor that stashes
+# the checkpointed JVM RDD (release_state's handle) stops resolving
+_WARNED_JRDD_ACCESSOR = False
 
 
 def _sweep_scratch() -> None:
@@ -83,8 +88,19 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
         # no-op on it.  Stash the JVM RDD itself.
         try:
             out._ckpt_jrdd = jdf.queryExecution().analyzed().rdd()
-        except Exception:
-            pass
+        except Exception as exc:  # pragma: no cover - py4j accessor drift
+            # Without the JVM RDD handle release_state silently reverts to
+            # the session-long block leak; warn ONCE so production runs get
+            # a signal (tests catch it via test_truncate_release_frees_blocks).
+            global _WARNED_JRDD_ACCESSOR
+            if not _WARNED_JRDD_ACCESSOR:
+                _WARNED_JRDD_ACCESSOR = True
+                warnings.warn(
+                    "truncate_lineage: could not stash checkpointed JVM RDD "
+                    f"({exc!r}); release_state will leak localCheckpoint "
+                    "blocks for this session",
+                    RuntimeWarning,
+                )
     except Exception:
         import tempfile
 

@@ -68,6 +68,9 @@ def test_operators_release_to_baseline(spark):
         lambda: connected_components(g, mode="smallstar")[0],
         lambda: kcore(g, mode="hindex")[0],
         lambda: kcore(g, mode="peel")[0],
+        # pure distributed peel: deg/edges end the loop as truncate_lineage
+        # frames, exercising the release_state (not unpersist) exit path
+        lambda: kcore(g, mode="peel", local_finish_vertices=0)[0],
         lambda: bfs(g, source=0)[0],
         lambda: sssp(g, source=0, max_iter=8)[0],
         lambda: label_propagation(g, rounds=2)[0],

@@ -36,6 +36,22 @@ def test_dense_id_map(spark):
     }
 
 
+def test_dedup_min_weight_survives_any_column_order(spark):
+    # parallel edges with weight NOT the first attribute column: the
+    # whole-row tie-break must still keep the minimum weight (SSSP contract)
+    df = spark.createDataFrame(
+        [(0, 1, "zz", 5.0), (0, 1, "aa", 2.0), (0, 1, "mm", 9.0)],
+        "src long, dst long, label string, weight double",
+    )
+    g = LinkGraph.from_edges(df, directed=True)
+    rows = g.edges.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # min weight wins, and the surviving attributes come from THAT row
+    assert r["weight"] == 2.0 and r["label"] == "aa"
+    assert g.edges.columns == ["src", "dst", "label", "weight"]
+
+
 def test_subgraphs(spark):
     e = edges_df(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
     g = LinkGraph.from_edges(e)
