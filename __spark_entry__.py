@@ -944,26 +944,38 @@ def _snap_edgelist_file(spark, sf_dir: str) -> str:
     """Write a deterministic SNAP-style text edge list derived from
     lineitem (the directed order→part graph with weight 1+(src+dst)%7) to
     a temp path, with comment header lines — regenerated (overwritten)
-    on every call so the fixture content is a pure function of sf_dir."""
+    on every call so the fixture content is a pure function of sf_dir.
+
+    The edge rows are written DISTRIBUTED (single-partition sorted
+    ``write.text``, then a byte-stream concat of header + part file) — no
+    ``.collect()`` of edges to the driver, so the fixture cost stays flat
+    in driver memory as SF grows."""
+    import glob
     import os
+    import shutil
     import tempfile
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     path = os.path.join(tempfile.gettempdir(), f"tcr_kcore_edgelist_{tag}.txt")
     w = (F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(7))).cast("long")
-    rows = (
+    lines = (
         order_part_edges(spark, sf_dir)
         .select("src", "dst", w.alias("w"))
-        .orderBy("src", "dst")
-        .collect()
+        .coalesce(1)
+        .sortWithinPartitions("src", "dst")
+        .select(F.concat_ws(" ", "src", "dst", "w").alias("value"))
     )
+    out_dir = path + ".d"
+    lines.write.mode("overwrite").text(out_dir)
+    part = sorted(glob.glob(os.path.join(out_dir, "part-*")))[0]
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         f.write("# SNAP-style directed order->part edge list (from lineitem)\n")
         f.write("# FromNodeId ToNodeId Weight\n")
-        for r in rows:
-            f.write(f"{r['src']} {r['dst']} {r['w']}\n")
+        with open(part) as pf:
+            shutil.copyfileobj(pf, f)
     os.replace(tmp, path)
+    shutil.rmtree(out_dir, ignore_errors=True)
     return path
 
 

@@ -31,36 +31,46 @@ def _build(spark, sf_dir: str):
     return g, n_edges
 
 
-def _run_headline(sf_dir: str, cpus: int) -> dict:
-    """One fresh JVM session per query: a kernel measured as the Nth job of
-    a shared session is 1.5-5x slower than fresh (heap/GC contamination
-    from the previous 2.4M-row jobs — measured 2026-08-17: kcore fixpoint
-    19.8 s fresh vs 27-28 s as job 3).  Graph build+cache per session is
-    NOT counted in the query timing (build_graph is its own line, measured
-    once), matching the reference convention of timing the algorithm, not
-    the load."""
+def _run_headline(sf_dir: str, cpus: int, passes: int = 3) -> dict:
+    """Min-of-N headline cells, N fresh-JVM passes INTERLEAVED across
+    queries.
+
+    Two measured sandbox facts drive the protocol (BENCH/BASELINE.md,
+    memory):
+
+    - one kernel per JVM: a kernel measured as the Nth job of a shared
+      session is 1.5-5x slower than fresh (heap/GC contamination — kcore
+      fixpoint 19.8 s fresh vs 27-28 s as job 3);
+    - this shared host swings ~5-12x with external tenant load (round 3's
+      single-pass harness recorded a phantom 57 s components cell; the
+      identical code re-measured at 3.6-6.1 s).  Each cell therefore runs
+      ``passes`` times, cycling through ALL queries before repeating any
+      (so one hot host window biases one pass of each query, never every
+      pass of one query), and the JSON line reports per-cell MINIMA.  All
+      raw passes append to BENCH/headline_passes.jsonl.
+
+    Graph build+cache per session is NOT counted in the query timing
+    (build_graph is its own cell), matching the reference convention of
+    timing the algorithm, not the load."""
     from pyspark.sql import functions as F
 
-    timings: dict[str, float] = {}
-    meta: dict[str, float] = {}
+    def run_build():
+        spark = _session(cpus, "bench_build")
+        t = time.time()
+        g, n_edges = _build(spark, sf_dir)
+        n_verts = g.vertices().count()
+        sec = round(time.time() - t, 3)
+        spark.stop()
+        return sec, {"edges": n_edges, "vertices": n_verts}
 
-    spark = _session(cpus, "bench_build")
-    t = time.time()
-    g, n_edges = _build(spark, sf_dir)
-    n_verts = g.vertices().count()
-    timings["build_graph"] = round(time.time() - t, 3)
-    meta["edges"] = n_edges
-    meta["vertices"] = n_verts
-    spark.stop()
-
-    def cell(name: str, fn) -> None:
+    def run_cell(name, fn):
         spark = _session(cpus, f"bench_{name}")
         g, _ = _build(spark, sf_dir)
         t = time.time()
-        extra = fn(spark, g)
-        timings[name] = round(time.time() - t, 3)
-        meta.update(extra or {})
+        extra = fn(spark, g) or {}
+        sec = round(time.time() - t, 3)
         spark.stop()
+        return sec, extra
 
     def q_pagerank(spark, g):
         from tcr_kcore_spark.operators import pagerank
@@ -100,13 +110,47 @@ def _run_headline(sf_dir: str, cpus: int) -> dict:
 
         label_propagation(g, rounds=2)[0].count()
 
-    cell("pagerank_conv", q_pagerank)
-    cell("components", q_components)
-    cell("kcore", q_kcore)
-    cell("triangles", q_triangles)
-    cell("bfs", q_bfs)
-    cell("lpa_r2", q_lpa)
+    cells = [
+        ("build_graph", None),
+        ("pagerank_conv", q_pagerank),
+        ("components", q_components),
+        ("kcore", q_kcore),
+        ("triangles", q_triangles),
+        ("bfs", q_bfs),
+        ("lpa_r2", q_lpa),
+    ]
+    timings: dict[str, float] = {}
+    worst: dict[str, float] = {}
+    meta: dict[str, float] = {}
+    raw: list[dict] = []
+    for p in range(passes):
+        pass_t: dict[str, float] = {}
+        for name, fn in cells:
+            sec, extra = run_build() if fn is None else run_cell(name, fn)
+            pass_t[name] = sec
+            worst[name] = max(worst.get(name, 0.0), sec)
+            if name not in timings or sec < timings[name]:
+                timings[name] = sec
+                meta.update(extra)  # counters are deterministic; keep the
+                # ones observed alongside the minimum wall time
+        raw.append(pass_t)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/headline_passes.jsonl", "a") as f:
+        for i, pass_t in enumerate(raw):
+            f.write(
+                json.dumps(
+                    {
+                        "ts": round(time.time(), 1),
+                        "pass": i,
+                        "sf_dir": sf_dir,
+                        "cpus": cpus,
+                        "timings": pass_t,
+                    }
+                )
+                + "\n"
+            )
 
+    n_edges = meta.get("edges", 0)
     prs = meta.pop("_pr_supersteps", 0)
     if prs:
         meta["pagerank_supersteps_per_sec"] = round(prs / timings["pagerank_conv"], 3)
@@ -117,6 +161,11 @@ def _run_headline(sf_dir: str, cpus: int) -> dict:
         meta["kcore_edges_per_sec"] = round(
             meta["kcore_supersteps"] * n_edges / timings["kcore"], 0
         )
+    meta["passes"] = passes
+    # per-cell max/min across passes: the host-noise signature (≈1 quiet)
+    meta["spread"] = {
+        k: round(worst[k] / v, 2) if v else 0.0 for k, v in timings.items()
+    }
     return {"timings": timings, "meta": meta}
 
 
@@ -150,7 +199,8 @@ def main() -> None:
         _hub_run(sf_dir, sf, cpus)
         return
 
-    result = _run_headline(sf_dir, cpus)
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    result = _run_headline(sf_dir, cpus, passes=passes)
     total = round(sum(result["timings"].values()), 3)
     out = {
         "metric": "headline_total_sec",
