@@ -895,6 +895,65 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(docs, max_hamming=3)
 
 
+def q_minhash_recall(spark, sf_dir):
+    """Measured recall of the banded MinHash-LSH pipeline against the EXACT
+    word-2-gram Jaccard pairs at the same threshold (0.8, uncapped shingle
+    space — the true similarity space, no df cap on either side).  One row
+    (n_true, n_found, recall, meets_bar); bar 0.95: with 16 bands x 4 rows
+    the S-curve misses a jaccard-0.8 pair w.p. (1-0.8^4)^16 ≈ 2e-4 and the
+    planted near-dups sit at ≈0.99 (miss w.p. ~1e-22), so the pipeline
+    should recover essentially all true pairs.  Deterministic (xxhash64
+    signatures over deterministic data)."""
+    from tcr_kcore_spark.functions.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, threshold=0.8, n=2).select("a", "b").persist()
+    approx = minhash_lsh_pairs(docs, threshold=0.8, n=2).select("a", "b")
+    n_true = exact.count()
+    n_found = exact.join(approx, ["a", "b"], "left_semi").count()
+    exact.unpersist()
+    recall = round(n_found / n_true, 6) if n_true else 1.0
+    return spark.createDataFrame(
+        [(n_true, n_found, recall, recall >= 0.95)],
+        "n_true long, n_found long, recall double, meets_bar boolean",
+    )
+
+
+def q_simhash_recall(spark, sf_dir):
+    """Measured recall of SimHash 4x16-bit chunk blocking against the EXACT
+    hamming-≤3 pair set (brute-force bit_count over all pairs — the
+    labeled exact baseline, bounded to the driver SFs).  The pigeonhole
+    guarantee (3 flipped bits cannot touch all 4 chunks) makes the
+    blocking provably exhaustive, so the bar is recall = 1.0 exactly."""
+    from tcr_kcore_spark.functions.dedup import simhash_64, simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sims = simhash_64(docs).persist()
+    exact = (
+        sims.alias("x")
+        .crossJoin(sims.alias("y"))
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("h"),
+        )
+        .where(F.col("h") <= 3)
+        .select("a", "b")
+        .persist()
+    )
+    n_true = exact.count()
+    approx = simhash_pairs(docs, max_hamming=3).select("a", "b")
+    n_found = exact.join(approx, ["a", "b"], "left_semi").count()
+    exact.unpersist()
+    sims.unpersist()
+    recall = round(n_found / n_true, 6) if n_true else 1.0
+    return spark.createDataFrame(
+        [(n_true, n_found, recall, recall >= 1.0)],
+        "n_true long, n_found long, recall double, meets_bar boolean",
+    )
+
+
 def q_lsh_topk(spark, sf_dir):
     from tcr_kcore_spark.functions.similarity import lsh_topk
 
@@ -1088,6 +1147,8 @@ _EXTRA_QUERIES = {
     "lang_id": q_lang_id,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
+    "minhash_recall": q_minhash_recall,
+    "simhash_recall": q_simhash_recall,
     "lsh_topk": q_lsh_topk,
     "lsh_recall": q_lsh_recall,
     "media_features": q_media_features,

@@ -118,7 +118,7 @@ NEW_ORACLE = ["jaccard2_pairs", "lang_id", "louvain_p1",
               "tri_total"]
 ROWS_ONLY = ["minhash_pairs", "simhash_pairs", "lsh_topk", "media_features",
              "corpus_edges", "corpus_invariant", "corpus_pagerank",
-             "lsh_recall", "louvain_full"]
+             "lsh_recall", "louvain_full", "minhash_recall", "simhash_recall"]
 
 
 def test_lsh_recall_meets_bar(spark):
@@ -126,6 +126,16 @@ def test_lsh_recall_meets_bar(spark):
     ≥ 0.9 at the fixed seed (VERDICT r1 item #10)."""
     row = entrymod.queries()["lsh_recall"](spark, SF_DIR).first()
     assert row["recall"] >= 0.9, row
+
+
+def test_minhash_simhash_recall_meet_bar(spark):
+    """Dedup quality gates (VERDICT r3 item #3): MinHash-LSH must recover
+    ≥0.95 of the exact jaccard-0.8 pair set; SimHash chunk blocking is
+    pigeonhole-exhaustive so its recall must be exactly 1.0."""
+    mh = entrymod.queries()["minhash_recall"](spark, SF_DIR).first()
+    assert mh["meets_bar"] and mh["recall"] >= 0.95, mh
+    sh = entrymod.queries()["simhash_recall"](spark, SF_DIR).first()
+    assert sh["meets_bar"] and sh["recall"] == 1.0, sh
 
 
 @pytest.mark.parametrize("name", NEW_ORACLE)
