@@ -1135,10 +1135,106 @@ def q_edgelist_symdeg(spark, sf_dir):
     return propagate_release(out, idmap)
 
 
+def _corpus_parquet() -> str:
+    """Write the deterministic tiny synth corpus as a parquet file at a
+    FIXED path so the DuckDB oracle can read the identical bytes — this is
+    what turns the corpus entries from rows-only into hash-checked
+    (VERDICT r3 item #8).  pandas→parquet directly (60 rows); content is a
+    pure function of the fixed seed, overwritten on every call."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from tcr_kcore_spark.sources.corpus import synth_corpus_pdf
+
+    path = _os.path.join(_tempfile.gettempdir(), "tcr_kcore_corpus_tiny.parquet")
+    synth_corpus_pdf("tiny").to_parquet(path, index=False)
+    return path
+
+
+def _corpus_cedges_ctes() -> str:
+    """CTE chain replicating sources/ingest.py's corpus→edges pipeline in
+    DuckDB over the staged corpus parquet: same regexes, same dense-id
+    (repo, path)-order contract, same self-import drop + dedup."""
+    path = _corpus_parquet()
+    return (
+        f"corpus AS MATERIALIZED (SELECT * FROM read_parquet('{path}')),\n"
+        "cfiles AS MATERIALIZED (SELECT repo, path, "
+        "CAST(regexp_extract(path, 'm(\\d+)\\.', 1) AS BIGINT) AS file_num "
+        "FROM corpus),\n"
+        "cids AS MATERIALIZED (SELECT repo, path, "
+        "row_number() OVER (ORDER BY repo, path) - 1 AS id FROM cfiles),\n"
+        "cintra AS MATERIALIZED (SELECT repo, path, CAST(x AS BIGINT) AS tnum "
+        "FROM (SELECT repo, path, unnest(regexp_extract_all(content, "
+        "'(?:from|import)\\s+\"?src[./]m(\\d+)', 1)) AS x FROM corpus)),\n"
+        "ccross AS MATERIALIZED (SELECT repo, path, "
+        "regexp_extract(m, '^([A-Za-z0-9_]+)[./]m\\d+$', 1) AS slug, "
+        "CAST(regexp_extract(m, 'm(\\d+)$', 1) AS BIGINT) AS tnum "
+        "FROM (SELECT repo, path, unnest(regexp_extract_all(content, "
+        "'ext[./]([A-Za-z0-9_]+[./]m\\d+)', 1)) AS m FROM corpus)),\n"
+        "slugs AS MATERIALIZED (SELECT DISTINCT repo AS s_repo, "
+        "replace(repo, '/', '_') AS slug FROM corpus),\n"
+        "resolved AS MATERIALIZED (\n"
+        "  SELECT i.repo, i.path, t.repo AS t_repo, t.path AS t_path "
+        "  FROM cintra i JOIN cfiles t ON t.repo = i.repo AND t.file_num = i.tnum\n"
+        "  UNION ALL\n"
+        "  SELECT c.repo, c.path, t.repo AS t_repo, t.path AS t_path "
+        "  FROM ccross c JOIN slugs s ON c.slug = s.slug "
+        "  JOIN cfiles t ON t.repo = s.s_repo AND t.file_num = c.tnum),\n"
+        "cedges AS MATERIALIZED (SELECT DISTINCT s.id AS src, d.id AS dst "
+        "FROM resolved r "
+        "JOIN cids s ON r.repo = s.repo AND r.path = s.path "
+        "JOIN cids d ON r.t_repo = d.repo AND r.t_path = d.path "
+        "WHERE s.id <> d.id)"
+    )
+
+
+def _corpus_edges_sql() -> str:
+    return "WITH " + _corpus_cedges_ctes() + "\nSELECT src, dst FROM cedges"
+
+
+def _corpus_invariant_sql() -> str:
+    # DuckDB computes sha256(content) INDEPENDENTLY over the same bytes —
+    # the north_rule's per-row content-sha256 invariant checked cross-engine
+    path = _corpus_parquet()
+    return (
+        f"SELECT repo, path, sha256(content) AS sha256 "
+        f"FROM read_parquet('{path}')"
+    )
+
+
+CORPUS_PR_ITERS = 10
+
+
+def _corpus_pagerank_sql(iters: int = CORPUS_PR_ITERS) -> str:
+    ctes = [
+        _corpus_cedges_ctes(),
+        "cverts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM cedges UNION ALL SELECT dst FROM cedges))",
+        "cdeg AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS BIGINT) "
+        "AS degree FROM cedges GROUP BY src)",
+        "cr0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM cverts)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"cm{i} AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank / d.degree) AS s "
+            f"FROM cedges e JOIN cr{i-1} r ON e.src = r.id "
+            f"JOIN cdeg d ON e.src = d.id GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"cr{i} AS MATERIALIZED (SELECT v.id, 0.15 + 0.85 * coalesce(m.s, 0.0) "
+            f"AS rank FROM cverts v LEFT JOIN cm{i} m ON v.id = m.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(rank, 6) AS rank FROM cr{iters}"
+    )
+
+
 def q_corpus_edges(spark, sf_dir):
     """North_rule ingest pipeline end-to-end: deterministic synthetic corpus
     (repo, path, commit, lang, content) -> vectorized import extraction ->
-    dense-id edge table.  Independent of sf_dir (the corpus is seeded)."""
+    dense-id edge table, hash-checked against a full DuckDB replica of the
+    same pipeline.  Independent of sf_dir (the corpus is seeded)."""
     from tcr_kcore_spark.sources import corpus_to_edges, synth_corpus
 
     corpus = synth_corpus(spark, "tiny")
@@ -1147,29 +1243,31 @@ def q_corpus_edges(spark, sf_dir):
 
 
 def q_corpus_invariant(spark, sf_dir):
-    """Single row (n_rows, sha_violations): the per-row sha256(content)
-    equality invariant over the ingest (north_rule); violations must be 0."""
-    from tcr_kcore_spark.sources import sha256_invariant_check, synth_corpus
+    """Per-row (repo, path, sha256) fingerprints from the ingest's
+    file_table; the oracle recomputes sha256(content) in DuckDB over the
+    staged parquet, so the hash compare IS the north_rule's per-row
+    content-sha256 equality invariant, verified cross-engine (strictly
+    stronger than the old self-computed violation count, which remains
+    pinned by tests/test_ingest.py)."""
+    from tcr_kcore_spark.sources import synth_corpus
     from tcr_kcore_spark.sources.ingest import file_table
 
     corpus = synth_corpus(spark, "tiny")
-    bad = sha256_invariant_check(corpus, file_table(corpus))
-    n = corpus.count()
-    return spark.createDataFrame(
-        [(n, bad)], "n_rows long, sha_violations long"
-    )
+    return file_table(corpus).select("repo", "path", "sha256")
 
 
 def q_corpus_pagerank(spark, sf_dir):
     """PageRank over the corpus-derived file-dependency graph — the
-    flagship north_star query ("rank of every file in the corpus graph")."""
+    flagship north_star query ("rank of every file in the corpus graph"),
+    oracle-checked via the unrolled SQL recurrence over the replicated
+    corpus edge CTE."""
     from tcr_kcore_spark.operators.pagerank import pagerank_fixed_iters
     from tcr_kcore_spark.sources import corpus_to_edges, synth_corpus
 
     corpus = synth_corpus(spark, "tiny")
     edges, _ = corpus_to_edges(corpus)
     g = LinkGraph(edges, directed=True)
-    r = pagerank_fixed_iters(g, 10)
+    r = pagerank_fixed_iters(g, CORPUS_PR_ITERS)
     return r.select("id", F.round("rank", 6).alias("rank"))
 
 
@@ -1203,6 +1301,9 @@ _EXTRA_ORACLES = {
     "lang_id": _lang_id_sql(),
     "louvain_p1": _louvain_sql(2, 1e-9),
     "events_stream": EVENTS_STREAM_SQL,
+    "corpus_edges": _corpus_edges_sql(),
+    "corpus_invariant": _corpus_invariant_sql(),
+    "corpus_pagerank": _corpus_pagerank_sql(),
 }
 
 _BASE_QUERIES = queries

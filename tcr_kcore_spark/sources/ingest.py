@@ -67,12 +67,17 @@ def file_ids(files: DataFrame) -> DataFrame:
             yield pdf
 
     counted = ranged.mapInPandas(_index, "repo string, path string, pos long").persist()
+    # the partition sort key must be the minimum (repo, path) TUPLE — a
+    # struct min.  Independent min(repo), min(path) aggregates pair the
+    # smallest repo with a path from a DIFFERENT repo whenever a range
+    # partition spans a repo boundary, scrambling the offset order (found
+    # round 4 by the DuckDB corpus oracle; ids were not globally ordered).
     sizes = (
         counted.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.count(F.lit(1)).alias("n"), F.min("repo").alias("lo_r"), F.min("path").alias("lo_p"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min(F.struct("repo", "path")).alias("lo"))
         .collect()
     )
-    sizes.sort(key=lambda r: (r["lo_r"], r["lo_p"]))
+    sizes.sort(key=lambda r: (r["lo"]["repo"], r["lo"]["path"]))
     offsets, acc = [], 0
     for r in sizes:
         offsets.append((r["pid"], acc))

@@ -81,6 +81,31 @@ def test_file_ids_multi_batch(spark, small_arrow_batches):
     assert [r["id"] for r in ordered] == list(range(n)), "(repo,path) order"
 
 
+def test_file_ids_repo_boundary_partitions(spark, small_arrow_batches):
+    """Round-4 regression (found by the DuckDB corpus oracle): when a range
+    partition spans a repo boundary AND the later repo's paths sort BEFORE
+    the earlier repo's, independent min(repo)/min(path) aggregates paired
+    the earlier repo with the later repo's smallest path, scrambling the
+    partition offset order.  The sort key must be the min (repo, path)
+    struct."""
+    n = 6_000
+    # repo0 holds paths "zz..." and repo1 holds paths "aa...": every
+    # boundary-spanning partition reproduces the cross-repo min pairing
+    files = spark.range(n).select(
+        F.concat(F.lit("r"), (F.col("id") % 3).cast("string")).alias("repo"),
+        F.concat(
+            F.when(F.col("id") % 3 == 0, F.lit("zz/"))
+            .when(F.col("id") % 3 == 1, F.lit("mm/"))
+            .otherwise(F.lit("aa/")),
+            F.lpad(F.col("id").cast("string"), 6, "0"),
+        ).alias("path"),
+    )
+    ids = file_ids(files).collect()
+    assert sorted(r["id"] for r in ids) == list(range(n))
+    ordered = sorted(ids, key=lambda r: (r["repo"], r["path"]))
+    assert [r["id"] for r in ordered] == list(range(n)), "(repo,path) order"
+
+
 def test_from_edges_duplicate_attr_deterministic(spark):
     # duplicate (src,dst) with different weights: the documented tie-break
     # is the per-column minimum (partition-order independent)

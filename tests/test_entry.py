@@ -115,9 +115,9 @@ def test_entry_smoke(spark):
 
 NEW_ORACLE = ["jaccard2_pairs", "lang_id", "louvain_p1",
               "edgelist_wdeg", "edgelist_symdeg", "quality_score",
-              "tri_total", "events_stream"]
+              "tri_total", "events_stream",
+              "corpus_edges", "corpus_invariant", "corpus_pagerank"]
 ROWS_ONLY = ["minhash_pairs", "simhash_pairs", "lsh_topk", "media_features",
-             "corpus_edges", "corpus_invariant", "corpus_pagerank",
              "lsh_recall", "louvain_full", "minhash_recall", "simhash_recall"]
 
 
