@@ -304,6 +304,102 @@ def _louvain_sql(rounds: int, threshold: float) -> str:
     )
 
 
+def _louvain_full_sql(levels: int, rounds: int, threshold: float) -> str:
+    """Unrolled multi-level Louvain (VERDICT r3 item #2): per level, the
+    weighted phase-1 recurrence (same bit-equal gain expression as
+    ``_louvain_sql``), then the condensation CTE replicating
+    ``louvain_aggregate``'s (min, max) canonical pairs — symmetric entries
+    fold to doubled canonical weights, re-expanded with the reverse rows,
+    (c, c) self-pairs kept once — then phase 1 again on the condensed
+    graph, with the per-level label maps composed at the end.
+
+    Unrolling PAST the driver's break-on-no-move is sound: a no-move level
+    condenses to an identity relabel whose only effect is doubling every
+    weight, and the gain expression is scale-invariant under exact
+    power-of-two weight scaling (every input is an integer-valued double),
+    so extra levels reproduce the same no-move fixpoint bit-for-bit.  All
+    weights at every level are sums of 1.0s — exact integers — so
+    cross-engine float sums stay exact."""
+    ctes = [EDGES_CTE,
+            "e1 AS MATERIALIZED (SELECT src, dst, CAST(1.0 AS DOUBLE) AS w FROM edges)"]
+    for lv in range(1, levels + 1):
+        e = f"e{lv}"
+        ctes.append(
+            f"v{lv} AS MATERIALIZED (SELECT DISTINCT src AS id FROM {e})"
+        )
+        ctes.append(
+            f"k{lv} AS MATERIALIZED (SELECT src AS id, sum(w) AS k FROM {e} GROUP BY src)"
+        )
+        ctes.append(f"tm{lv} AS MATERIALIZED (SELECT 2.0 * sum(w) AS two_m FROM {e})")
+        ctes.append(f"f{lv}_0 AS MATERIALIZED (SELECT id, id AS c FROM v{lv})")
+        twom = f"(SELECT two_m FROM tm{lv})"
+        for i in range(1, rounds + 1):
+            p = f"f{lv}_{i-1}"
+            ctes.append(
+                f"st{lv}_{i} AS MATERIALIZED (SELECT p.c, sum(kk.k) AS sum_tot "
+                f"FROM {p} p JOIN k{lv} kk ON p.id = kk.id GROUP BY p.c)"
+            )
+            ctes.append(
+                f"si{lv}_{i} AS MATERIALIZED (SELECT ls.c, sum(e.w) AS sum_in "
+                f"FROM {e} e JOIN {p} ls ON e.src = ls.id JOIN {p} ld ON e.dst = ld.id "
+                f"WHERE ls.c = ld.c GROUP BY ls.c)"
+            )
+            ctes.append(
+                f"kin{lv}_{i} AS MATERIALIZED (SELECT e.src AS id, ld.c AS cand, "
+                f"sum(e.w) AS kin "
+                f"FROM {e} e JOIN {p} ld ON e.dst = ld.id GROUP BY e.src, ld.c)"
+            )
+            ctes.append(
+                f"cand{lv}_{i} AS MATERIALIZED (SELECT kin.id, kin.cand, "
+                f"(((coalesce(si.sum_in, 0.0) + 2.0 * kin.kin) / {twom} "
+                f"- pow((st.sum_tot + kk.k) / {twom}, 2)) "
+                f"- (coalesce(si.sum_in, 0.0) / {twom} "
+                f"- pow(st.sum_tot / {twom}, 2) "
+                f"- pow(kk.k / {twom}, 2))) AS gain "
+                f"FROM kin{lv}_{i} kin JOIN {p} me ON kin.id = me.id AND kin.cand <> me.c "
+                f"JOIN k{lv} kk ON kin.id = kk.id "
+                f"JOIN st{lv}_{i} st ON st.c = kin.cand "
+                f"LEFT JOIN si{lv}_{i} si ON si.c = kin.cand)"
+            )
+            ctes.append(
+                f"best{lv}_{i} AS MATERIALIZED (SELECT id, cand FROM ("
+                f"SELECT id, cand, row_number() OVER (PARTITION BY id "
+                f"ORDER BY gain DESC, cand ASC) AS rn FROM cand{lv}_{i} "
+                f"WHERE gain > {threshold!r}) WHERE rn = 1)"
+            )
+            ctes.append(
+                f"f{lv}_{i} AS MATERIALIZED (SELECT p.id, coalesce(b.cand, p.c) AS c "
+                f"FROM {p} p LEFT JOIN best{lv}_{i} b ON p.id = b.id)"
+            )
+        final = f"f{lv}_{rounds}"
+        if lv == 1:
+            ctes.append(f"map1 AS MATERIALIZED (SELECT id, c FROM {final})")
+        else:
+            ctes.append(
+                f"map{lv} AS MATERIALIZED (SELECT m.id, l.c "
+                f"FROM map{lv-1} m JOIN {final} l ON m.c = l.id)"
+            )
+        if lv < levels:
+            # louvain_aggregate: canonical (min, max) pairs, weights summed
+            # (both symmetric orientations fold in), then the reverse rows
+            # rebuild the symmetric table keeping (c, c) self-pairs once
+            ctes.append(
+                f"cond{lv} AS MATERIALIZED (SELECT least(ls.c, ld.c) AS src, "
+                f"greatest(ls.c, ld.c) AS dst, sum(e.w) AS w "
+                f"FROM {e} e JOIN {final} ls ON e.src = ls.id "
+                f"JOIN {final} ld ON e.dst = ld.id GROUP BY 1, 2)"
+            )
+            ctes.append(
+                f"e{lv+1} AS MATERIALIZED (SELECT src, dst, w FROM cond{lv} "
+                f"UNION ALL SELECT dst AS src, src AS dst, w FROM cond{lv} "
+                f"WHERE src <> dst)"
+            )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(c AS BIGINT) AS community FROM map{levels}"
+    )
+
+
 def _lpa_sql(rounds: int) -> str:
     ctes = [EDGES_CTE, VERTS_CTE, "lab0 AS MATERIALIZED (SELECT id, id AS label FROM verts)"]
     for i in range(1, rounds + 1):
@@ -833,10 +929,11 @@ def _quality_score_sql() -> str:
 
 def q_louvain_full(spark, sf_dir):
     """Packaged multi-level Louvain (phase1 -> condense -> repeat until no
-    move; ``TCR/src/demo/Louvain.py:171+``) on the co-occurrence graph.
-    Rows-only (per-level NumPy-oracle equality is pinned by
-    tests/test_hits_louvain.py::test_louvain_full_matches_numpy_oracle);
-    deterministic: synchronous rounds + lexicographic tie-breaks."""
+    move; ``TCR/src/demo/Louvain.py:171+``) on the co-occurrence graph,
+    hash-checked against the fully-unrolled 4-level SQL oracle
+    (``_louvain_full_sql``; per-level NumPy-oracle equality additionally
+    pinned by tests/test_hits_louvain.py); deterministic: synchronous
+    rounds + lexicographic tie-breaks."""
     from tcr_kcore_spark.operators import louvain
 
     r, _ = louvain(_graph(spark, sf_dir), max_levels=4, max_rounds=2,
@@ -1300,6 +1397,7 @@ _EXTRA_ORACLES = {
     "tri_total": TRI_TOTAL_SQL,
     "lang_id": _lang_id_sql(),
     "louvain_p1": _louvain_sql(2, 1e-9),
+    "louvain_full": _louvain_full_sql(4, 2, 1e-9),
     "events_stream": EVENTS_STREAM_SQL,
     "corpus_edges": _corpus_edges_sql(),
     "corpus_invariant": _corpus_invariant_sql(),

@@ -115,10 +115,10 @@ def test_entry_smoke(spark):
 
 NEW_ORACLE = ["jaccard2_pairs", "lang_id", "louvain_p1",
               "edgelist_wdeg", "edgelist_symdeg", "quality_score",
-              "tri_total", "events_stream",
+              "tri_total", "events_stream", "louvain_full",
               "corpus_edges", "corpus_invariant", "corpus_pagerank"]
 ROWS_ONLY = ["minhash_pairs", "simhash_pairs", "lsh_topk", "media_features",
-             "lsh_recall", "louvain_full", "minhash_recall", "simhash_recall"]
+             "lsh_recall", "minhash_recall", "simhash_recall"]
 
 
 def test_lsh_recall_meets_bar(spark):
