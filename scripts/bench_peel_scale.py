@@ -1,0 +1,56 @@
+"""kcore peel mode at scale (VERDICT r3 item #7): the full shrink-cadence +
+checkpointless peel + BZ-finisher pipeline on the 64x disjoint expansion of
+the sf0.1 co-occurrence graph (~153M symmetric-table entries, 1.28M
+vertices), one fresh JVM.  Reports rounds / shrinks / finisher-task seconds
+broken out, appending to BENCH/peel_scale.jsonl.
+
+Usage: python scripts/bench_peel_scale.py [copies]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import _expanded_graph, _session
+
+
+def main() -> None:
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from tcr_kcore_spark.operators import kcore
+
+    spark = _session(cpus, "bench_peel_scale")
+    g, n_edges = _expanded_graph(spark, sf_dir, copies, disjoint=True)
+    n_verts = g.vertices().count()
+    t = time.time()
+    kc, st = kcore(g, mode="peel")
+    n_rows = kc.count()
+    wall = round(time.time() - t, 1)
+    row = {
+        "copies": copies,
+        "cpus": cpus,
+        "edges": n_edges,
+        "vertices": n_verts,
+        "result_rows": n_rows,
+        "rounds": st.supersteps,
+        "shrinks": st.shrinks,
+        "local_finish_secs": st.local_finish_secs,
+        "wall_secs": wall,
+        "kcore_edges_per_sec": round(st.supersteps * n_edges / wall, 0),
+    }
+    print(json.dumps(row), flush=True)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/peel_scale.jsonl", "a") as f:
+        f.write(json.dumps(row) + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

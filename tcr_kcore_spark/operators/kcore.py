@@ -75,7 +75,14 @@ def kcore(
     the current k as floor) — the reference's phase 2, which re-peels the
     small residual on a single device (``KCore_subscr_one.py:79-141``).
     This collapses the long tail of tiny peel rounds (each a full Spark
-    job) into one task.  Set to 0 to disable (pure distributed rounds)."""
+    job) into one task.  Set to 0 to disable (pure distributed rounds).
+
+    The edge cap is justified by measurement, not guesswork: the array BZ
+    kernel peels a 2.39M-edge residual block in ~2.1-2.7 s single-task
+    (scripts/bench_bz_finisher.py, BENCH/bz_finisher.jsonl), linear in E —
+    so the 2M default trades ≤ ~3 s of serial tail for dozens of
+    whole-cluster peel rounds.  ``stats.local_finish_secs`` reports the
+    actual cost per run."""
     g = graph.undirected_view()
     if mode == "hindex":
         return _hindex(
@@ -473,7 +480,9 @@ def _peel(
                 local = residual.groupBy(F.lit(1).alias("__g")).applyInPandas(
                     kernel, "id long, coreness long"
                 )
-                local = truncate_lineage(local)
+                t_fin = time.time()
+                local = truncate_lineage(local)  # materializes the one task
+                stats.local_finish_secs = round(time.time() - t_fin, 3)
                 # survivors with no residual edges peel at the current k
                 floor = F.lit(k if k is not None else 0).cast("long")
                 isolated = deg.join(local, "id", "left_anti").select(
@@ -546,6 +555,7 @@ def _peel(
             release_state(edges)
             edges = new_edges
             last_shrink = alive
+            stats.shrinks += 1
 
     acc = _flush(acc)
     if acc is None:

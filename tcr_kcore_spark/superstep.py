@@ -161,6 +161,10 @@ class SuperstepStats:
     checkpoints: int = 0
     resumed_from: int | None = None
     history: list = field(default_factory=list)
+    # peel-mode extras (kcore): edge-set re-materializations and the wall
+    # time of the single-task BZ local finisher (0.0 = finisher not taken)
+    shrinks: int = 0
+    local_finish_secs: float = 0.0
 
     @property
     def supersteps_per_sec(self) -> float:
