@@ -978,11 +978,31 @@ def _lang_id_sql() -> str:
 
 
 def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs at threshold 0.8 (2-gram shingles).  The
+    contract is the EXACT uncapped jaccard-0.8 pair set: precision 1.0 by
+    construction (candidates are exact-verified), recall 1.0 at the driver
+    SFs (measured by ``minhash_recall``; a borderline-0.8 pair escapes the
+    16x4 band S-curve w.p. ~2e-4) — so the oracle is the exact inverted-
+    index SQL, which checks the whole shingle→signature→band→verify
+    pipeline end to end."""
     from tcr_kcore_spark.functions.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=0.8, n=2)
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+MINHASH_PAIRS_SQL = (
+    "WITH docs AS MATERIALIZED (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),\n"
+    "msh AS MATERIALIZED (SELECT DISTINCT doc_id AS id, g FROM (SELECT doc_id, "
+    "unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g FROM docs)),\n"
+    "msz AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS s FROM msh GROUP BY id),\n"
+    "minter AS MATERIALIZED (SELECT x.id AS a, y.id AS b, count(*) AS i FROM msh x "
+    "JOIN msh y ON x.g = y.g AND x.id < y.id GROUP BY 1, 2)\n"
+    "SELECT i.a, i.b, round(i.i::DOUBLE / (sa.s + sb.s - i.i), 6) AS jaccard "
+    "FROM minter i JOIN msz sa ON i.a = sa.id JOIN msz sb ON i.b = sb.id "
+    "WHERE i.i::DOUBLE / (sa.s + sb.s - i.i) >= 0.8"
+)
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -1120,8 +1140,13 @@ def q_lsh_recall(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing smoke: deterministic fake media table (the sf_dir
-    tables carry no binary media) through the Arrow decode/featurize path."""
+    """Multimodal plumbing through the Arrow decode/featurize path on the
+    deterministic fake media table (the sf_dir tables carry no binary
+    media).  Oracle: a generator-computed expectation table — DuckDB's
+    sha256 is VARCHAR-only so it cannot hash the blob, but the expected
+    rows are re-derived from the synth spec with hashlib through a
+    non-Spark code path, so the hash compare pins the binary column
+    round-trip, the mapInPandas batch slicing, and the schema."""
     from tcr_kcore_spark.functions.multimodal import (
         decode_and_featurize,
         synth_media_table,
@@ -1130,6 +1155,27 @@ def q_media_features(spark, sf_dir):
     media = synth_media_table(spark, n=64)
     feats = decode_and_featurize(media, fake=True)
     return feats.select("sample_id", "modality", "n_bytes", "checksum")
+
+
+def _media_features_sql(n: int = 64, seed: int = 42) -> str:
+    """Expected (sample_id, modality, n_bytes, checksum) rows re-derived
+    from the synth_media_table spec (payload = sha256(f"{seed}:{i}") x
+    (4 + i%5); checksum = sha256(payload)[:16]) — independent of both the
+    Spark entry and functions/multimodal.py's kernel code."""
+    import hashlib as _hashlib
+
+    vals = []
+    for i in range(n):
+        payload = _hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 5)
+        checksum = _hashlib.sha256(payload).hexdigest()[:16]
+        modality = ["image", "audio", "video"][i % 3]
+        vals.append(f"({i}, '{modality}', {len(payload)}, '{checksum}')")
+    return (
+        "SELECT CAST(sample_id AS BIGINT) AS sample_id, modality, "
+        "CAST(n_bytes AS BIGINT) AS n_bytes, checksum FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(sample_id, modality, n_bytes, checksum)"
+    )
 
 
 # -- text edge-list ingest (A1, Graph.py:192-210) + densify (A2/CSRGraph
@@ -1402,6 +1448,8 @@ _EXTRA_ORACLES = {
     "corpus_edges": _corpus_edges_sql(),
     "corpus_invariant": _corpus_invariant_sql(),
     "corpus_pagerank": _corpus_pagerank_sql(),
+    "minhash_pairs": MINHASH_PAIRS_SQL,
+    "media_features": _media_features_sql(),
 }
 
 _BASE_QUERIES = queries

@@ -116,8 +116,9 @@ def test_entry_smoke(spark):
 NEW_ORACLE = ["jaccard2_pairs", "lang_id", "louvain_p1",
               "edgelist_wdeg", "edgelist_symdeg", "quality_score",
               "tri_total", "events_stream", "louvain_full",
-              "corpus_edges", "corpus_invariant", "corpus_pagerank"]
-ROWS_ONLY = ["minhash_pairs", "simhash_pairs", "lsh_topk", "media_features",
+              "corpus_edges", "corpus_invariant", "corpus_pagerank",
+              "minhash_pairs", "media_features"]
+ROWS_ONLY = ["simhash_pairs", "lsh_topk",
              "lsh_recall", "minhash_recall", "simhash_recall"]
 
 
