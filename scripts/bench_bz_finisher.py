@@ -1,6 +1,6 @@
 """Measure the single-task BZ local-finisher kernel (VERDICT r3 item #4).
 
-The peel mode hands residuals up to ``local_finish_edges`` (default 2M) to
+The peel mode hands residuals up to ``local_finish_edges`` (default 8M) to
 ``_bz_finish_kernel`` — an interpreted-Python O(E) loop over NumPy arrays in
 ONE task.  This times the kernel in-process (no Spark — the applyInPandas
 wrapper adds only Arrow transfer) on symmetric subgraphs of the sf0.1

@@ -65,7 +65,7 @@ def kcore(
     shrink_factor: float = 0.5,
     truncate_every: int = 1,
     local_finish_vertices: int = 100_000,
-    local_finish_edges: int = 2_000_000,
+    local_finish_edges: int = 8_000_000,
 ) -> tuple[DataFrame, SuperstepStats]:
     """Returns ((id, coreness), stats) on the symmetrized graph.
 
@@ -78,11 +78,14 @@ def kcore(
     job) into one task.  Set to 0 to disable (pure distributed rounds).
 
     The edge cap is justified by measurement, not guesswork: the array BZ
-    kernel peels a 2.39M-edge residual block in ~2.1-2.7 s single-task
-    (scripts/bench_bz_finisher.py, BENCH/bz_finisher.jsonl), linear in E —
-    so the 2M default trades ≤ ~3 s of serial tail for dozens of
-    whole-cluster peel rounds.  ``stats.local_finish_secs`` reports the
-    actual cost per run."""
+    kernel peels ~1.1M edges/s single-task, linear in E (149k/599k/2392k
+    edges in 0.13/0.51/2.26 s — scripts/bench_bz_finisher.py,
+    BENCH/bz_finisher.jsonl), so the 8M default trades ≤ ~8 s of serial
+    tail (128 MB task footprint at 16 B/edge) for dozens of whole-cluster
+    peel rounds; at the round-3 2M cap the 64x-disjoint 153M-edge bench
+    never fired the finisher (residual was 8M edges at the vertex
+    trigger) and paid ~50 tail rounds instead (BENCH/peel_scale.jsonl).
+    ``stats.local_finish_secs`` reports the actual cost per run."""
     g = graph.undirected_view()
     if mode == "hindex":
         return _hindex(
@@ -372,7 +375,7 @@ def _peel(
     checkpoint_every: int = 20,
     resume: bool = False,
     local_finish_vertices: int = 100_000,
-    local_finish_edges: int = 2_000_000,
+    local_finish_edges: int = 8_000_000,
 ) -> tuple[DataFrame, SuperstepStats]:
     """Exact peel with optional mid-run checkpoint/resume — the analog of
     the reference's phase-1 deleted-bitmap checkpoint that phase 2 loads
