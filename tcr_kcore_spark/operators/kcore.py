@@ -64,7 +64,7 @@ def kcore(
     resume: bool = False,
     shrink_factor: float = 0.5,
     truncate_every: int = 1,
-    local_finish_vertices: int = 100_000,
+    local_finish_vertices: int = 2_000_000,
     local_finish_edges: int = 8_000_000,
 ) -> tuple[DataFrame, SuperstepStats]:
     """Returns ((id, coreness), stats) on the symmetrized graph.
@@ -75,17 +75,22 @@ def kcore(
     the current k as floor) — the reference's phase 2, which re-peels the
     small residual on a single device (``KCore_subscr_one.py:79-141``).
     This collapses the long tail of tiny peel rounds (each a full Spark
-    job) into one task.  Set to 0 to disable (pure distributed rounds).
+    job) into one task.  Set local_finish_vertices=0 to disable (pure
+    distributed rounds).
 
-    The edge cap is justified by measurement, not guesswork: the array BZ
-    kernel peels ~1.1M edges/s single-task, linear in E (149k/599k/2392k
-    edges in 0.13/0.51/2.26 s — scripts/bench_bz_finisher.py,
-    BENCH/bz_finisher.jsonl), so the 8M default trades ≤ ~8 s of serial
-    tail (128 MB task footprint at 16 B/edge) for dozens of whole-cluster
-    peel rounds; at the round-3 2M cap the 64x-disjoint 153M-edge bench
-    never fired the finisher (residual was 8M edges at the vertex
-    trigger) and paid ~50 tail rounds instead (BENCH/peel_scale.jsonl).
-    ``stats.local_finish_secs`` reports the actual cost per run."""
+    The trigger is EDGE-mass-driven and free: deg[v] is maintained as the
+    degree to survivors, so sum(deg) in the per-round bounds action IS the
+    exact residual edge count — no probe join.  The caps are justified by
+    measurement, not guesswork: the array BZ kernel peels ~1.1M edges/s
+    single-task, linear in E (149k/599k/2392k edges in 0.13/0.51/2.26 s —
+    scripts/bench_bz_finisher.py, BENCH/bz_finisher.jsonl), so the 8M edge
+    cap trades ≤ ~8 s of serial tail (~130 MB task footprint at 16 B/edge)
+    for dozens of whole-cluster peel rounds; the vertex cap (2M, ~80 MB of
+    id/bin arrays) only guards kernel memory.  Round-3's vertex-first
+    trigger (100k) never fired on the 64x-disjoint 153M-edge bench — the
+    residual still carried 8M edges at that point — and paid ~50 tail
+    rounds instead (BENCH/peel_scale.jsonl).  ``stats.local_finish_secs``
+    reports the actual cost per run."""
     g = graph.undirected_view()
     if mode == "hindex":
         return _hindex(
@@ -374,7 +379,7 @@ def _peel(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 20,
     resume: bool = False,
-    local_finish_vertices: int = 100_000,
+    local_finish_vertices: int = 2_000_000,
     local_finish_edges: int = 8_000_000,
 ) -> tuple[DataFrame, SuperstepStats]:
     """Exact peel with optional mid-run checkpoint/resume — the analog of
@@ -461,42 +466,45 @@ def _peel(
 
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
-    # ONE driver action yields both the alive count and the next round's
-    # minimum degree (round 2 ran them as two separate jobs per round)
-    bounds = deg.agg(F.count(F.lit(1)).alias("n"), F.min("deg").alias("mn")).first()
-    alive, min_deg = bounds["n"], bounds["mn"]
+    # ONE driver action yields the alive count, the next round's minimum
+    # degree, AND the exact residual edge count: deg[v] is maintained as
+    # v's degree TO SURVIVORS, so sum(deg) over survivors equals the
+    # surviving symmetric-table entry count — no probe join needed to
+    # decide the phase-2 handoff (round 3 built+counted the residual edge
+    # set every post-threshold round just to test the cap).
+    bounds = deg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("deg").alias("mn"),
+        F.sum("deg").alias("m"),
+    ).first()
+    alive, min_deg, res_edges = bounds["n"], bounds["mn"], bounds["m"] or 0
     last_shrink = alive
     rounds_since_ckpt = 0
     local_finished = False
     while alive > 0 and stats.supersteps < max_iter:
         # phase-2 handoff: peel the small residual to completion in ONE task
-        if 0 < local_finish_vertices >= alive:
+        if 0 < alive <= local_finish_vertices and res_edges <= local_finish_edges:
             survivors = deg.select("id")
             residual = (
                 edges.join(survivors.withColumnRenamed("id", "src"), "src", "left_semi")
                 .join(survivors.withColumnRenamed("id", "dst"), "dst", "left_semi")
-                .persist()
             )
-            n_res = residual.count()
-            if n_res <= local_finish_edges:
-                kernel = _bz_finish_kernel(k_floor=k if k is not None else 0)
-                local = residual.groupBy(F.lit(1).alias("__g")).applyInPandas(
-                    kernel, "id long, coreness long"
-                )
-                t_fin = time.time()
-                local = truncate_lineage(local)  # materializes the one task
-                stats.local_finish_secs = round(time.time() - t_fin, 3)
-                # survivors with no residual edges peel at the current k
-                floor = F.lit(k if k is not None else 0).cast("long")
-                isolated = deg.join(local, "id", "left_anti").select(
-                    "id", floor.alias("coreness")
-                )
-                residual.unpersist()
-                # `local` (a truncated frame) is the handle _flush releases
-                pending.append((local, local.unionByName(isolated)))
-                local_finished = True
-                break
-            residual.unpersist()
+            kernel = _bz_finish_kernel(k_floor=k if k is not None else 0)
+            local = residual.groupBy(F.lit(1).alias("__g")).applyInPandas(
+                kernel, "id long, coreness long"
+            )
+            t_fin = time.time()
+            local = truncate_lineage(local)  # materializes the one task
+            stats.local_finish_secs = round(time.time() - t_fin, 3)
+            # survivors with no residual edges peel at the current k
+            floor = F.lit(k if k is not None else 0).cast("long")
+            isolated = deg.join(local, "id", "left_anti").select(
+                "id", floor.alias("coreness")
+            )
+            # `local` (a truncated frame) is the handle _flush releases
+            pending.append((local, local.unionByName(isolated)))
+            local_finished = True
+            break
         # jump k to the smallest remaining degree (same output as k += 1
         # through empty rounds — KCore_new_v3 pays a full round per k)
         k = min_deg if k is None else max(k, min_deg)
@@ -534,9 +542,11 @@ def _peel(
         )
         new_deg = truncate_lineage(new_deg)  # cut plan + stats growth per round
         bounds = new_deg.agg(
-            F.count(F.lit(1)).alias("n"), F.min("deg").alias("mn")
+            F.count(F.lit(1)).alias("n"),
+            F.min("deg").alias("mn"),
+            F.sum("deg").alias("m"),
         ).first()
-        alive, min_deg = bounds["n"], bounds["mn"]
+        alive, min_deg, res_edges = bounds["n"], bounds["mn"], bounds["m"] or 0
         release_state(deg)
         deg = new_deg
         # peeled stays persisted until its batch folds into acc (_flush)
