@@ -41,6 +41,23 @@ def test_er_graph_vs_bz_oracle(spark, mode, lfv):
     assert got == want
 
 
+def test_peel_midway_edge_mass_handoff(spark):
+    """Round-4 trigger: sum(deg) in the bounds action fires the BZ finisher
+    MID-peel (k_floor > 0) once the residual edge mass drops under the cap
+    — several distributed rounds first, then the single-task finish, and
+    the composed result must still equal the oracle exactly."""
+    edges = oracles.er_graph(n=250, avg_deg=8)
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    result, stats = kcore(
+        g, mode="peel", local_finish_vertices=10_000, local_finish_edges=800
+    )
+    got = {r["id"]: r["coreness"] for r in result.collect()}
+    assert got == oracles.coreness(edges)
+    # the handoff really was midway: distributed rounds ran AND the
+    # finisher fired
+    assert stats.supersteps >= 1 and stats.local_finish_secs > 0
+
+
 @pytest.mark.parametrize("mode", ["hindex", "peel"])
 def test_zipf_hubs(spark, mode):
     edges = oracles.zipf_hub_graph(n=500, m=2500)
