@@ -941,6 +941,24 @@ def q_louvain_full(spark, sf_dir):
     return r
 
 
+def q_pagerank_factored(spark, sf_dir):
+    """PageRank over the FACTORED graph representation (reference A5/D15
+    counterpart, ``TCR/single/compress_test.py:58-77``): shared
+    out-neighbor sets route through virtual set-nodes, cutting per-
+    superstep traversed rows; scores are an exact regrouping of the same
+    sum, so the oracle is the SAME unrolled SQL as plain ``pagerank_i8``
+    — hash-equality IS the proof the compressed path computes identical
+    results."""
+    from tcr_kcore_spark.compress import compress_graph, pagerank_factored
+
+    g = _graph(spark, sf_dir)
+    cg = compress_graph(g)
+    r, _ = pagerank_factored(cg, PR_ITERS)
+    out = r.select("id", F.round("rank", 6).alias("rank"))
+    cg.unpersist()  # result state is a truncated bare scan already
+    return out
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-profile language ID (n-gram heuristic) over documents."""
     from tcr_kcore_spark.functions.text import language_id
@@ -1420,6 +1438,7 @@ _EXTRA_QUERIES = {
     "edgelist_symdeg": q_edgelist_symdeg,
     "quality_score": q_quality_score,
     "louvain_full": q_louvain_full,
+    "pagerank_factored_i8": q_pagerank_factored,
     "tri_total": q_tri_total,
     "corpus_edges": q_corpus_edges,
     "corpus_invariant": q_corpus_invariant,
@@ -1444,6 +1463,7 @@ _EXTRA_ORACLES = {
     "lang_id": _lang_id_sql(),
     "louvain_p1": _louvain_sql(2, 1e-9),
     "louvain_full": _louvain_full_sql(4, 2, 1e-9),
+    "pagerank_factored_i8": _pagerank_sql(PR_ITERS),
     "events_stream": EVENTS_STREAM_SQL,
     "corpus_edges": _corpus_edges_sql(),
     "corpus_invariant": _corpus_invariant_sql(),

@@ -117,7 +117,7 @@ NEW_ORACLE = ["jaccard2_pairs", "lang_id", "louvain_p1",
               "edgelist_wdeg", "edgelist_symdeg", "quality_score",
               "tri_total", "events_stream", "louvain_full",
               "corpus_edges", "corpus_invariant", "corpus_pagerank",
-              "minhash_pairs", "media_features"]
+              "minhash_pairs", "media_features", "pagerank_factored_i8"]
 ROWS_ONLY = ["simhash_pairs", "lsh_topk",
              "lsh_recall", "minhash_recall", "simhash_recall"]
 
