@@ -46,6 +46,19 @@ def main() -> None:
     pr.count()
     pr_secs = round(time.time() - t, 2)
 
+    # factored representation (A5/D15 counterpart): measure how much of
+    # the import graph factors through shared out-sets, and the factored
+    # PageRank cost on the same tolerance
+    from tcr_kcore_spark.compress import compress_graph, pagerank_factored
+
+    t = time.time()
+    cg = compress_graph(g)
+    compress_secs = round(time.time() - t, 2)
+    t = time.time()
+    prf, stf = pagerank_factored(cg, st.supersteps, truncate_every=4)
+    prf.count()
+    prf_secs = round(time.time() - t, 2)
+
     row = {
         "size": size,
         "files": n_files,
@@ -56,12 +69,17 @@ def main() -> None:
         "pagerank_supersteps": st.supersteps,
         "pagerank_converged": st.converged,
         "pagerank_edges_per_sec": round(st.supersteps * n_edges / pr_secs, 0),
+        "factored_ratio": round(cg.ratio, 4),
+        "compress_secs": compress_secs,
+        "pagerank_factored_secs": prf_secs,
     }
     print(json.dumps(row), flush=True)
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/corpus_pipeline.jsonl", "a") as f:
         f.write(json.dumps(row) + "\n")
     release_state(pr)
+    release_state(prf)
+    cg.unpersist()
     release_state(edges)
     release_state(ids)
     corpus.unpersist()
