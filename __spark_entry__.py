@@ -1089,21 +1089,12 @@ def q_simhash_recall(spark, sf_dir):
     )
 
 
-def q_events_stream(spark, sf_dir):
-    """The ACTUAL Structured Streaming path (VERDICT r3 item #5): file-source
-    readStream over events.parquet -> watermarked 1-hour tumbling windows ->
-    availableNow trigger -> memory sink, then the sink table re-keyed to
-    epoch seconds for the hash compare.  A single availableNow batch starts
-    with watermark 0, so no input row is late and the result equals the
-    batch SQL twin exactly — the oracle checks the stream plumbing end to
-    end, not a batch stand-in."""
+def _events_stream_dir(sf_dir: str) -> str:
+    """Stage the events parquet behind a symlink in a per-sf temp dir —
+    the file stream source requires a DIRECTORY; no data copy."""
     import os as _os
     import tempfile as _tempfile
 
-    from tcr_kcore_spark.streaming.events import run_stream_once
-
-    # the file stream source requires a DIRECTORY; stage the events parquet
-    # behind a symlink (no data copy) in a per-sf temp dir
     tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
     src_dir = _os.path.join(_tempfile.gettempdir(), f"tcr_kcore_events_{tag}")
     _os.makedirs(src_dir, exist_ok=True)
@@ -1112,7 +1103,65 @@ def q_events_stream(spark, sf_dir):
     if _os.path.islink(link) or _os.path.exists(link):
         _os.remove(link)
     _os.symlink(target, link)
-    tbl = run_stream_once(spark, src_dir, query_name="events_stream_entry")
+    return src_dir
+
+
+def q_events_user_totals(spark, sf_dir):
+    """The custom STATEFUL streaming operator (``applyInPandasWithState``
+    running per-user totals, streaming/events.py) through the real stream
+    path: readStream -> groupBy(user).applyInPandasWithState -> update-mode
+    memory sink, availableNow.  Each micro-batch emits a user's running
+    total, so the FINAL emission per user (max n_events) must equal the
+    batch aggregation — which is the SQL oracle.  Arrow-batched state
+    updates, no per-row Python."""
+    from pyspark.sql import functions as F
+
+    from tcr_kcore_spark.streaming.events import (
+        read_event_stream,
+        stateful_user_totals,
+    )
+
+    out = stateful_user_totals(read_event_stream(spark, _events_stream_dir(sf_dir)))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("events_user_totals_entry")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    tbl = spark.table("events_user_totals_entry")
+    return (
+        tbl.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.n_events").alias("n_events"),
+            F.col("m.sum_value").alias("sum_value"),
+        )
+    )
+
+
+EVENTS_USER_TOTALS_SQL = (
+    "SELECT CAST(user_id AS BIGINT) AS user_id, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "round(sum(value), 6) AS sum_value FROM events GROUP BY 1"
+)
+
+
+def q_events_stream(spark, sf_dir):
+    """The ACTUAL Structured Streaming path (VERDICT r3 item #5): file-source
+    readStream over events.parquet -> watermarked 1-hour tumbling windows ->
+    availableNow trigger -> memory sink, then the sink table re-keyed to
+    epoch seconds for the hash compare.  A single availableNow batch starts
+    with watermark 0, so no input row is late and the result equals the
+    batch SQL twin exactly — the oracle checks the stream plumbing end to
+    end, not a batch stand-in."""
+    from tcr_kcore_spark.streaming.events import run_stream_once
+
+    tbl = run_stream_once(
+        spark, _events_stream_dir(sf_dir), query_name="events_stream_entry"
+    )
     return tbl.select(
         F.unix_timestamp("window_start").cast("long").alias("window_epoch"),
         "event_type",
@@ -1450,6 +1499,7 @@ _EXTRA_QUERIES = {
     "minhash_recall": q_minhash_recall,
     "simhash_recall": q_simhash_recall,
     "events_stream": q_events_stream,
+    "events_user_totals": q_events_user_totals,
     "lsh_topk": q_lsh_topk,
     "lsh_recall": q_lsh_recall,
     "media_features": q_media_features,
@@ -1465,6 +1515,7 @@ _EXTRA_ORACLES = {
     "louvain_full": _louvain_full_sql(4, 2, 1e-9),
     "pagerank_factored_i8": _pagerank_sql(PR_ITERS),
     "events_stream": EVENTS_STREAM_SQL,
+    "events_user_totals": EVENTS_USER_TOTALS_SQL,
     "corpus_edges": _corpus_edges_sql(),
     "corpus_invariant": _corpus_invariant_sql(),
     "corpus_pagerank": _corpus_pagerank_sql(),

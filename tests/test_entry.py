@@ -117,7 +117,8 @@ NEW_ORACLE = ["jaccard2_pairs", "lang_id", "louvain_p1",
               "edgelist_wdeg", "edgelist_symdeg", "quality_score",
               "tri_total", "events_stream", "louvain_full",
               "corpus_edges", "corpus_invariant", "corpus_pagerank",
-              "minhash_pairs", "media_features", "pagerank_factored_i8"]
+              "minhash_pairs", "media_features", "pagerank_factored_i8",
+              "events_user_totals"]
 ROWS_ONLY = ["simhash_pairs", "lsh_topk",
              "lsh_recall", "minhash_recall", "simhash_recall"]
 
