@@ -21,9 +21,18 @@ EVENT_SCHEMA = (
 )
 
 
-def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over a directory of event parquet files."""
-    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a directory of event parquet files.
+    ``max_files_per_trigger`` caps files per micro-batch — under an
+    availableNow trigger this forces MULTIPLE micro-batches, exercising
+    state-store continuation and watermark advancement across batches
+    (one batch processes everything otherwise)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

@@ -117,3 +117,81 @@ def test_stream_dedup_first_seen(spark, tmp_path):
     n = spark.table("t_dedup").select("event_id").distinct().count()
     total = spark.table("t_dedup").count()
     assert total == n == 500
+
+
+def test_stateful_totals_across_micro_batches(spark, tmp_path):
+    """State-store continuation: maxFilesPerTrigger=1 under availableNow
+    forces one micro-batch PER FILE, so per-user running totals must carry
+    through the state store across batches; the final emission per user
+    equals the batch aggregation over all files."""
+    from tcr_kcore_spark.streaming.events import (
+        read_event_stream,
+        stateful_user_totals,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(1200)
+    src = str(tmp_path / "ev_mb")
+    # four separate files -> four micro-batches
+    events.repartition(4).write.parquet(src)
+
+    out = stateful_user_totals(
+        read_event_stream(spark, src, max_files_per_trigger=1)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_user_totals_mb")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode appends one emission per (user, batch-with-activity);
+    # the FINAL emission (max n_events) is the running total
+    final = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in spark.table("t_user_totals_mb")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("m"))
+        .select("user_id", "m.n_events", "m.sum_value")
+        .collect()
+    }
+    exp = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert final == exp
+    # and it genuinely ran as multiple batches: some user must have emitted
+    # more than one running total
+    emissions = spark.table("t_user_totals_mb").count()
+    assert emissions > len(final)
+
+
+def test_stream_dedup_across_micro_batches(spark, tmp_path):
+    """Streaming dedup must drop a duplicate event_id arriving in a LATER
+    micro-batch (the dropDuplicates state store, not just in-batch dedup)."""
+    from tcr_kcore_spark.streaming.events import (
+        read_event_stream,
+        stream_dedup_first_seen,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(300)
+    src = str(tmp_path / "ev_dup_mb")
+    events.coalesce(1).write.parquet(src)                      # file/batch 1
+    events.coalesce(1).write.mode("append").parquet(src)       # file/batch 2
+
+    out = stream_dedup_first_seen(
+        read_event_stream(spark, src, max_files_per_trigger=1)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_dedup_mb")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("t_dedup_mb").count() == 300
+    assert spark.table("t_dedup_mb").select("event_id").distinct().count() == 300
