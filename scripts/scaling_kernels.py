@@ -69,8 +69,67 @@ def kcore_cell(cores: int) -> float:
     return dt
 
 
+def components_cell(cores: int) -> float:
+    """Connected components TO CONVERGENCE (hashmin) — one of the four
+    north_rule-named algorithms; the multigraph's parallel edges do not
+    change labels, so the work is a pure E-sized kernel at K× rows."""
+    from tcr_kcore_spark.operators import connected_components
+
+    spark = _session(cores, f"sk_cc_{cores}")
+    g, _ = _expanded_graph(spark, SF_DIR, COPIES, disjoint=False)
+    from tcr_kcore_spark.operators import label_propagation
+
+    label_propagation(g, rounds=1)[0].count()  # warm-up (same join shape)
+    t = time.time()
+    connected_components(g, mode="hashmin")[0].count()
+    dt = round(time.time() - t, 2)
+    g.unpersist()
+    spark.stop()
+    return dt
+
+
+def lpa_cell(cores: int) -> float:
+    """2-round label propagation (north_rule-named; the two-hash-agg mode
+    count weighs each parallel edge, K× message rows)."""
+    from tcr_kcore_spark.operators import label_propagation
+
+    spark = _session(cores, f"sk_lpa_{cores}")
+    g, _ = _expanded_graph(spark, SF_DIR, COPIES, disjoint=False)
+    label_propagation(g, rounds=1)[0].count()  # warm-up
+    t = time.time()
+    label_propagation(g, rounds=2)[0].count()
+    dt = round(time.time() - t, 2)
+    g.unpersist()
+    spark.stop()
+    return dt
+
+
+def triangles_cell(cores: int) -> float:
+    """Per-vertex triangle counting (north_rule-named) on the disjoint
+    x(COPIES/8) expansion — parallel edges would corrupt wedge counts, so
+    the multigraph is not usable here; disjoint copies preserve per-copy
+    density (the wedge join's cost driver)."""
+    from tcr_kcore_spark.graph import LinkGraph
+    from tcr_kcore_spark.operators.triangles import triangles_per_vertex
+    from tcr_kcore_spark.sources.relational import cooccurrence_edges
+
+    spark = _session(cores, f"sk_tri_{cores}")
+    warm = LinkGraph(cooccurrence_edges(spark, SF_DIR), directed=False)
+    warm.materialize()
+    triangles_per_vertex(warm).count()  # warm-up at 1x
+    warm.unpersist()
+    gd, _ = _expanded_graph(spark, SF_DIR, max(COPIES // 8, 1), disjoint=True)
+    t = time.time()
+    triangles_per_vertex(gd).count()
+    dt = round(time.time() - t, 2)
+    gd.unpersist()
+    spark.stop()
+    return dt
+
+
 CELLS = {"codegen_control": codegen_cell, "pagerank_i8": pagerank_cell,
-         "kcore_h4": kcore_cell}
+         "kcore_h4": kcore_cell, "components": components_cell,
+         "lpa_r2": lpa_cell, "triangles": triangles_cell}
 
 
 def main():
