@@ -78,13 +78,16 @@ def read_edgelist(
         else:
             n_attrs = max(int(row["lo"]) - 2, 0)
 
+    # try_element_at, not element_at: under ANSI mode (Spark 4 default) a
+    # short line would THROW instead of honoring the documented
+    # "missing attributes yield nulls" contract for explicit/probed widths
     cols = [
-        F.element_at("f", 1).cast("long").alias("src"),
-        F.element_at("f", 2).cast("long").alias("dst"),
+        F.try_element_at("f", F.lit(1)).cast("long").alias("src"),
+        F.try_element_at("f", F.lit(2)).cast("long").alias("dst"),
     ]
     for i in range(n_attrs):
         name = "weight" if i == 0 else f"attr{i + 1}"
-        cols.append(F.element_at("f", i + 3).cast("double").alias(name))
+        cols.append(F.try_element_at("f", F.lit(i + 3)).cast("double").alias(name))
     edges = data.select(*cols).where(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )

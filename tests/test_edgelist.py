@@ -59,3 +59,23 @@ def test_read_edgelist_attrs(spark, tmp_path):
     rows = {(r["src"], r["dst"]): (r["weight"], r["attr2"]) for r in g.edges.collect()}
     # duplicate (1,2): per-column MIN tie-break
     assert rows == {(1, 2): (0.25, 7.0), (2, 3): (1.5, 8.0)}
+
+
+def test_probe_rows_bounded_width_autodetect(spark, tmp_path):
+    """probe_rows bounds the autodetect scan to the first N data lines:
+    uniform-width files detect the same n_attrs as the full scan; a ragged
+    line BEYOND the probe window is (by documented trade-off) no longer a
+    loud error — short lines yield nulls, long lines ignore extras."""
+    p = tmp_path / "probe.txt"
+    p.write_text("# hdr\n1 2 0.5\n2 3 1.5\n3 4\n")  # ragged at line 3
+    # full-scan autodetect fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="ragged"):
+        read_edgelist(spark, str(p))
+    # bounded probe sees only the uniform prefix -> weight column detected,
+    # the short line's weight is null
+    g = read_edgelist(spark, str(p), probe_rows=2)
+    rows = {(r["src"], r["dst"]): r["weight"] for r in g.edges.collect()}
+    assert rows[(1, 2)] == 0.5 and rows[(2, 3)] == 1.5
+    assert (3, 4) in rows and rows[(3, 4)] is None
