@@ -304,7 +304,9 @@ def _louvain_sql(rounds: int, threshold: float) -> str:
     )
 
 
-def _louvain_full_sql(levels: int, rounds: int, threshold: float) -> str:
+def _louvain_full_sql(
+    levels: int, rounds: int, threshold: float, edges_cte: str = EDGES_CTE
+) -> str:
     """Unrolled multi-level Louvain (VERDICT r3 item #2): per level, the
     weighted phase-1 recurrence (same bit-equal gain expression as
     ``_louvain_sql``), then the condensation CTE replicating
@@ -313,14 +315,24 @@ def _louvain_full_sql(levels: int, rounds: int, threshold: float) -> str:
     (c, c) self-pairs kept once — then phase 1 again on the condensed
     graph, with the per-level label maps composed at the end.
 
-    Unrolling PAST the driver's break-on-no-move is sound: a no-move level
-    condenses to an identity relabel whose only effect is doubling every
-    weight, and the gain expression is scale-invariant under exact
-    power-of-two weight scaling (every input is an integer-valued double),
-    so extra levels reproduce the same no-move fixpoint bit-for-bit.  All
-    weights at every level are sums of 1.0s — exact integers — so
-    cross-engine float sums stay exact."""
-    ctes = [EDGES_CTE,
+    Unrolling PAST the operator's break-on-no-move must make the extra
+    levels exact no-ops.  Under an identity relabel the canonical fold
+    doubles every CROSS weight (both symmetric orientations collapse into
+    the (min, max) pair) but a (c, c) self-pair has only one orientation
+    and keeps its weight — a NON-uniform scaling that can flip gains on
+    condensed graphs carrying self-pairs (r4 ADVICE item #1).  Fix: the
+    ``mv{lv}`` flag detects a no-move level and the re-expansion then
+    doubles self-pair weights too, restoring a uniform exact ×2 scaling.
+    Scaling every gain input (sum_in, k_i_in, k, sum_tot, 2m) by the same
+    power of two is bit-exact in IEEE (×2 is exact and (2x)/(2y) rounds to
+    the same value as x/y), so gains — and therefore threshold and
+    tie-break decisions — are bit-identical, and by induction every level
+    past the first no-move level is also a no-move identity whose map
+    composition is a no-op.  Levels where a move DID occur keep sf = 1.0,
+    i.e. the exact ``louvain_aggregate`` semantics the operator uses.
+    Validated by tests/test_hits_louvain.py::test_louvain_full_sql_early_break
+    on a graph whose operator run breaks at level ≥ 2."""
+    ctes = [edges_cte,
             "e1 AS MATERIALIZED (SELECT src, dst, CAST(1.0 AS DOUBLE) AS w FROM edges)"]
     for lv in range(1, levels + 1):
         e = f"e{lv}"
@@ -389,8 +401,18 @@ def _louvain_full_sql(levels: int, rounds: int, threshold: float) -> str:
                 f"FROM {e} e JOIN {final} ls ON e.src = ls.id "
                 f"JOIN {final} ld ON e.dst = ld.id GROUP BY 1, 2)"
             )
+            # identity-level self-pair scaling (see docstring): sf = 2.0
+            # exactly when this level moved nothing, keeping the phantom
+            # condensation a uniform ×2 of the previous graph
             ctes.append(
-                f"e{lv+1} AS MATERIALIZED (SELECT src, dst, w FROM cond{lv} "
+                f"mv{lv} AS MATERIALIZED (SELECT CASE WHEN EXISTS "
+                f"(SELECT 1 FROM {final} WHERE id <> c) "
+                f"THEN CAST(1.0 AS DOUBLE) ELSE CAST(2.0 AS DOUBLE) END AS sf)"
+            )
+            ctes.append(
+                f"e{lv+1} AS MATERIALIZED (SELECT src, dst, "
+                f"CASE WHEN src = dst THEN w * (SELECT sf FROM mv{lv}) "
+                f"ELSE w END AS w FROM cond{lv} "
                 f"UNION ALL SELECT dst AS src, src AS dst, w FROM cond{lv} "
                 f"WHERE src <> dst)"
             )

@@ -176,3 +176,46 @@ def test_louvain_two_level(spark):
     g2 = LinkGraph(condensed.unionByName(rev), directed=False)
     lvl2, _ = louvain_phase1(g2, max_rounds=4, gain_threshold=1e-9)
     assert lvl2.count() == n1
+
+
+# random ER graph (seed 167 of the search in r5) on which the operator
+# breaks at level 2 AND the pre-fix oracle (self-pairs NOT doubled on
+# identity levels) returns a DIFFERENT community assignment — i.e. the
+# phantom levels 3-4 actually cross a gain decision boundary here
+_EARLY_BREAK_EDGES = [
+    (0, 1), (0, 2), (0, 5), (0, 7), (0, 8), (1, 4), (1, 6), (1, 7),
+    (2, 3), (2, 6), (2, 8), (3, 4), (3, 6), (3, 8), (4, 5), (4, 6),
+    (4, 7), (5, 6), (5, 8),
+]
+
+
+def test_louvain_full_sql_early_break(spark):
+    """r4 ADVICE item #1: the 4-level unrolled SQL oracle must match the
+    operator even when the operator early-breaks at level >= 2, leaving the
+    SQL to run phantom levels over a condensed graph that carries (c, c)
+    self-pairs.  The fixed oracle doubles self-pair weights on identity
+    levels (uniform exact x2 scaling -> bit-equal gains -> no phantom
+    moves); the pre-fix oracle mismatches on this graph."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from tcr_kcore_spark.operators import louvain
+
+    g = LinkGraph.from_edges(edges_df(spark, _EARLY_BREAK_EDGES), directed=False)
+    got, stats = louvain(g, max_levels=4, max_rounds=2, gain_threshold=1e-9)
+    rows = {r["id"]: r["community"] for r in got.collect()}
+    # precondition: the unsound path is actually exercised — a real move
+    # level followed by a break strictly before the SQL's 4 levels
+    assert 2 <= len(stats) < 4, "graph no longer early-breaks; pick another"
+    sym = sorted(
+        {(a, b) for a, b in _EARLY_BREAK_EDGES}
+        | {(b, a) for a, b in _EARLY_BREAK_EDGES}
+    )
+    vals = ", ".join(f"({a}, {b})" for a, b in sym)
+    cte = (
+        "edges AS MATERIALIZED (SELECT CAST(src AS BIGINT) AS src, "
+        f"CAST(dst AS BIGINT) AS dst FROM (VALUES {vals}) AS t(src, dst))"
+    )
+    sql = entry._louvain_full_sql(4, 2, 1e-9, edges_cte=cte)
+    oracle = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
+    assert rows == oracle
