@@ -534,6 +534,16 @@ def q_kcore_peel(spark, sf_dir):
     return r
 
 
+def q_kcore_peel_dist(spark, sf_dir):
+    """Distributed hybrid local+global cascade peel with the single-task BZ
+    finisher DISABLED (local_finish_vertices=0), so the hash-checked gate
+    exercises the cogrouped block-cascade rounds themselves — at harness
+    scale the default caps would otherwise route the whole graph through
+    the finisher on the first bounds check (ADVICE r4)."""
+    r, _ = kcore(_graph(spark, sf_dir), mode="peel", local_finish_vertices=0)
+    return r
+
+
 def q_bfs(spark, sf_dir):
     g = _graph(spark, sf_dir)
     source = g.edges.agg(F.min("src")).first()[0]
@@ -793,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_h4": q_kcore_h4,
         "kcore_exact": q_kcore_exact,
         "kcore_peel": q_kcore_peel,
+        "kcore_peel_dist": q_kcore_peel_dist,
         "bfs_from_min": q_bfs,
         "sssp_w7": q_sssp,
         "hits_i4": q_hits,
@@ -818,6 +829,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_h4": _hindex_sql(4),
         "kcore_exact": _hindex_sql(KCORE_ROUNDS),
         "kcore_peel": _hindex_sql(KCORE_ROUNDS),
+        "kcore_peel_dist": _hindex_sql(KCORE_ROUNDS),
         "bfs_from_min": BFS_SQL,
         "sssp_w7": _sssp_sql(SSSP_ROUNDS),
         "hits_i4": _hits_sql(HITS_ITERS),

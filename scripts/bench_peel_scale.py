@@ -4,7 +4,9 @@ the sf0.1 co-occurrence graph (~153M symmetric-table entries, 1.28M
 vertices), one fresh JVM.  Reports rounds / shrinks / finisher-task seconds
 broken out, appending to BENCH/peel_scale.jsonl.
 
-Usage: python scripts/bench_peel_scale.py [copies]
+Usage: python scripts/bench_peel_scale.py [copies] [mode]
+  mode: "cascade" (default — hybrid local+global rounds) or "legacy"
+  (one-level-per-round global peel, the pre-r5 shape, for A/B).
 """
 from __future__ import annotations
 
@@ -21,6 +23,7 @@ from bench import _expanded_graph, _session
 
 def main() -> None:
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    mode = sys.argv[2] if len(sys.argv) > 2 else "cascade"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -30,16 +33,18 @@ def main() -> None:
     g, n_edges = _expanded_graph(spark, sf_dir, copies, disjoint=True)
     n_verts = g.vertices().count()
     t = time.time()
-    kc, st = kcore(g, mode="peel")
+    kc, st = kcore(g, mode="peel", local_cascade=(mode == "cascade"))
     n_rows = kc.count()
     wall = round(time.time() - t, 1)
     row = {
         "copies": copies,
         "cpus": cpus,
+        "mode": mode,
         "edges": n_edges,
         "vertices": n_verts,
         "result_rows": n_rows,
         "rounds": st.supersteps,
+        "actions": st.actions,
         "shrinks": st.shrinks,
         "local_finish_secs": st.local_finish_secs,
         "wall_secs": wall,

@@ -46,6 +46,7 @@ from tcr_kcore_spark.plans.partitioning import (
     state_side,
 )
 from tcr_kcore_spark.superstep import (
+    checkpoint_block,
     propagate_release,
     SuperstepStats,
     release_state,
@@ -66,8 +67,26 @@ def kcore(
     truncate_every: int = 1,
     local_finish_vertices: int = 2_000_000,
     local_finish_edges: int = 8_000_000,
+    local_cascade: bool = True,
+    n_blocks: int | None = None,
 ) -> tuple[DataFrame, SuperstepStats]:
     """Returns ((id, coreness), stats) on the symmetrized graph.
+
+    ``local_cascade`` (peel mode): run the reference's local-then-global
+    peel (the inner ``while B`` loop between all-reduces,
+    ``TCR/src/demo/KCore_big.py:208-234``): survivor edges are
+    range-partitioned into contiguous vertex blocks co-partitioned with the
+    degree table, and each global superstep runs a per-block bin-sorted BZ
+    cascade at the current k inside ``applyInPandas`` — in-block decrements
+    apply immediately (many local peel rounds per shuffle round); only
+    boundary decrements to other blocks cross the shuffle.  A block whose
+    alive subgraph has NO external edges is *closed* and finishes its
+    entire coreness decomposition locally in that superstep (valid because
+    every survivor has coreness ≥ the current k, so BZ with floor k on the
+    independent subgraph is exact).  Global supersteps per k-level collapse
+    from the cascade depth to the cross-block boundary depth.
+    ``local_cascade=False`` keeps the one-level-per-round global peel
+    (each round peels only ``deg ≤ k`` once; used for A/B benches).
 
     ``local_finish_vertices/edges`` (peel mode): once the survivor set
     shrinks below both bounds, the residual graph is peeled to completion
@@ -80,16 +99,17 @@ def kcore(
 
     The trigger is EDGE-mass-driven and free: deg[v] is maintained as the
     degree to survivors, so sum(deg) in the per-round bounds action IS the
-    exact residual edge count — no probe join.  The caps are justified by
-    measurement, not guesswork: the array BZ kernel peels ~1.1M edges/s
-    single-task, linear in E (149k/599k/2392k edges in 0.13/0.51/2.26 s —
-    scripts/bench_bz_finisher.py, BENCH/bz_finisher.jsonl), so the 8M edge
-    cap trades ≤ ~8 s of serial tail (~130 MB task footprint at 16 B/edge)
-    for dozens of whole-cluster peel rounds; the vertex cap (2M, ~80 MB of
-    id/bin arrays) only guards kernel memory.  Round-3's vertex-first
-    trigger (100k) never fired on the 64x-disjoint 153M-edge bench — the
-    residual still carried 8M edges at that point — and paid ~50 tail
-    rounds instead (BENCH/peel_scale.jsonl).  ``stats.local_finish_secs``
+    exact residual edge count — no probe join.  Cap rationale: the array
+    BZ kernel peels ~1.1M edges/s single-task, linear in E (149k/599k/
+    2392k edges in 0.13/0.51/2.26 s — scripts/bench_bz_finisher.py,
+    BENCH/bz_finisher.jsonl), so the 8M edge cap bounds the serial tail at
+    ≤ ~8 s (~130 MB task footprint at 16 B/edge); the vertex cap (2M,
+    ~80 MB of id/bin arrays) only guards kernel memory.  On the
+    64x-disjoint 153M-edge bench the residual holds >8M edges until the
+    final cascade, so the finisher never fires there
+    (BENCH/peel_scale.jsonl local_finish_secs=0.0) — the cap pays off on
+    graphs whose residual shrinks gradually (test_peel_midway_edge_mass_
+    handoff exercises a mid-peel fire).  ``stats.local_finish_secs``
     reports the actual cost per run."""
     g = graph.undirected_view()
     if mode == "hindex":
@@ -106,6 +126,8 @@ def kcore(
             resume,
             local_finish_vertices,
             local_finish_edges,
+            local_cascade,
+            n_blocks,
         )
     raise ValueError(f"unknown mode {mode!r}")
 
@@ -372,6 +394,176 @@ def _bz_finish_kernel(k_floor: int):
     return kernel
 
 
+def _block_bz_kernel(k: int, span: int):
+    """Per-block fixed-k cascade for the hybrid local+global peel — the
+    Spark analog of the reference's inner local-peel loop between
+    all-reduces (``KCore_big.py:208-234``).  One cogrouped ``applyInPandas``
+    call per (alive degrees of block, out-edges of block).
+
+    The block runs the same bin-sorted array BZ as ``_bz_finish_kernel``,
+    but over the *global* residual degrees from the degree table, with the
+    adjacency split in two:
+
+    - *local* adjacency: in-block neighbors that are alive — decrements
+      apply immediately, so a whole cascade at level k completes inside
+      the task (many local peel rounds per shuffle round);
+    - *external* adjacency: neighbors in other blocks (aliveness unknown
+      locally) — each peeled vertex emits one decrement per external
+      neighbor; decrements to already-dead targets are dropped when the
+      driver joins them against the survivor table.
+
+    Stale in-block edges (dst in this block but already peeled in an
+    earlier superstep) are dropped outright — the degree table, not the
+    edge table, is authoritative for residual degrees.
+
+    The scan peels in ascending-degree order while residual degree ≤ k
+    (every such vertex has coreness exactly k: the level-(k-1) cascade
+    completed globally before k advanced, and peeling is confluent).  If
+    the block has NO external adjacency it is *closed* — an independent
+    subgraph whose survivors all have coreness ≥ k — so the scan continues
+    past k as a full Batagelj–Zaveršnik run with floor k, finishing the
+    block's decomposition in this single superstep.
+
+    Output rows (kind, id, val): kind 0 = peeled (val = coreness),
+    kind 1 = survivor (val = residual degree after local decrements,
+    before cross-block decrements), kind 2 = boundary decrement
+    (val = count, pre-aggregated per target within the block).
+
+    Memory: ~16 B per block edge + ~56 B per block vertex, plus a bin
+    array sized by the max in-block degree (same bound as the reference's
+    per-device bin sort, ``PKC/pkc.c:267-349``)."""
+
+    def kernel(deg_pdf, edge_pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "kind": np.array([], dtype="int32"),
+                "id": np.array([], dtype="int64"),
+                "val": np.array([], dtype="int64"),
+            }
+        )
+        n = len(deg_pdf)
+        if n == 0:
+            return empty
+        ids = deg_pdf["id"].to_numpy(dtype="int64", copy=False)
+        degs = deg_pdf["deg"].to_numpy(dtype="int64", copy=False)
+        o = np.argsort(ids, kind="stable")
+        ids = ids[o]
+        deg = degs[o].astype(np.int64, copy=True)
+        blk = ids[0] // span
+
+        src = edge_pdf["src"].to_numpy(dtype="int64", copy=False)
+        dst = edge_pdf["dst"].to_numpy(dtype="int64", copy=False)
+        # alive-src filter (edge table is a stale superset between shrinks)
+        sl = np.searchsorted(ids, src)
+        np.clip(sl, 0, n - 1, out=sl)
+        keep = ids[sl] == src
+        src_l = sl[keep]
+        dst_g = dst[keep]
+        same_blk = (dst_g // span) == blk
+        dl = np.searchsorted(ids, dst_g)
+        np.clip(dl, 0, n - 1, out=dl)
+        alive_dst = ids[dl] == dst_g
+        local_mask = same_blk & alive_dst  # live in-block edge
+        ext_mask = ~same_blk  # other block: aliveness unknown, emit decs
+        # (same_blk & ~alive_dst: stale edge to an in-block dead vertex — drop)
+
+        ls, ld = src_l[local_mask], dl[local_mask]
+        lorder = np.argsort(ls, kind="stable")
+        ladj = ld[lorder]
+        lptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.bincount(ls, minlength=n), out=lptr[1:])
+        es, ed = src_l[ext_mask], dst_g[ext_mask]
+        eorder = np.argsort(es, kind="stable")
+        eadj = ed[eorder]
+        eptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.bincount(es, minlength=n), out=eptr[1:])
+        closed = eadj.shape[0] == 0
+
+        vert = np.argsort(deg, kind="stable").astype(np.int64)
+        pos = np.empty(n, dtype=np.int64)
+        pos[vert] = np.arange(n, dtype=np.int64)
+        max_deg = int(deg.max())
+        bin_start = np.zeros(max_deg + 2, dtype=np.int64)
+        np.cumsum(np.bincount(deg, minlength=max_deg + 1), out=bin_start[1:])
+        core = np.full(n, -1, dtype=np.int64)
+        kr = k
+        for i in range(n):
+            v = vert[i]
+            dv = deg[v]
+            if dv > kr:
+                if not closed:
+                    break  # open block: levels past k need global knowledge
+                kr = int(dv)
+            core[v] = kr
+            for j in range(lptr[v], lptr[v + 1]):
+                u = ladj[j]
+                du = deg[u]
+                if du > dv:
+                    pu = pos[u]
+                    pw = bin_start[du]
+                    w = vert[pw]
+                    if u != w:
+                        vert[pu] = w
+                        vert[pw] = u
+                        pos[u] = pw
+                        pos[w] = pu
+                    bin_start[du] = pw + 1
+                    deg[u] = du - 1
+
+        peeled = core >= 0
+        parts = []
+        n_peeled = int(peeled.sum())
+        if n_peeled:
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "kind": np.zeros(n_peeled, dtype="int32"),
+                        "id": ids[peeled],
+                        "val": core[peeled],
+                    }
+                )
+            )
+            if eadj.shape[0]:
+                pv = np.flatnonzero(peeled)
+                lens = eptr[pv + 1] - eptr[pv]
+                total = int(lens.sum())
+                if total:
+                    # gather the concatenated external slices of peeled verts
+                    stops = np.cumsum(lens)
+                    idx = (
+                        np.repeat(eptr[pv] - (stops - lens), lens)
+                        + np.arange(total, dtype=np.int64)
+                    )
+                    targets, counts = np.unique(eadj[idx], return_counts=True)
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                "kind": np.full(targets.shape[0], 2, dtype="int32"),
+                                "id": targets,
+                                "val": counts.astype("int64"),
+                            }
+                        )
+                    )
+        n_surv = n - n_peeled
+        if n_surv:
+            surv = ~peeled
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "kind": np.ones(n_surv, dtype="int32"),
+                        "id": ids[surv],
+                        "val": deg[surv],
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    return kernel
+
+
 def _peel(
     g: LinkGraph,
     max_iter: int,
@@ -381,13 +573,26 @@ def _peel(
     resume: bool = False,
     local_finish_vertices: int = 2_000_000,
     local_finish_edges: int = 8_000_000,
+    local_cascade: bool = True,
+    n_blocks: int | None = None,
 ) -> tuple[DataFrame, SuperstepStats]:
     """Exact peel with optional mid-run checkpoint/resume — the analog of
     the reference's phase-1 deleted-bitmap checkpoint that phase 2 loads
     (``TCR/src/demo/KCore_big.py:252-259``, ``KCore_subscr_one.py:86``).
     A checkpoint persists the survivor degrees, the coreness-so-far and
     the current k; resume rebuilds the survivor edge set from the graph by
-    an induced semi-join (the compacted-CSR rebuild, A14)."""
+    an induced semi-join (the compacted-CSR rebuild, A14).
+
+    ``local_cascade=True``: hybrid local+global rounds (see kcore()):
+    the edge table is blocked by ``blk = src // span`` (contiguous vertex
+    ranges), hash-partitioned on blk ONCE and kept co-partitioned across
+    the whole loop — per superstep only the V-row degree table is
+    exchanged to meet it, and the cogrouped ``_block_bz_kernel`` runs a
+    whole fixed-k cascade (or a full BZ finish for closed blocks) per
+    block per round.  Driver-action budget per round: exactly 2 (the
+    state truncation job + the per-block bounds collect), plus O(log
+    rounds) coreness folds and O(log V) shrink re-materializations —
+    ``stats.actions`` counts them and tests assert the budget."""
     import json
     import os
 
@@ -395,12 +600,58 @@ def _peel(
     stats = SuperstepStats()
     t0 = time.time()
 
-    edges = g.edges.select("src", "dst").persist()
     deg = (
         g.degrees()
         .select("id", F.col("degree").cast("long").alias("deg"))
         .persist()
     )
+    edges = g.edges.select("src", "dst")
+    if local_cascade:
+        n_parts = int(n_blocks or spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        max_id = deg.agg(F.max("id")).first()[0] or 0
+        stats.actions += 1
+        span = max(1, (int(max_id) + n_parts) // n_parts)  # ceil((max_id+1)/P)
+
+        def blk_of(c):
+            return F.floor(c / F.lit(span)).cast("long")
+
+        edges = (
+            edges.withColumn("blk", blk_of(F.col("src")))
+            .repartition(n_parts, "blk")
+            .persist()
+        )
+    else:
+        edges = edges.persist()
+
+    def _bounds(d: DataFrame):
+        """One action → (alive, min_deg, residual_edge_mass, per-blk min).
+        deg[v] is maintained as the degree to survivors, so sum(deg) IS
+        the exact residual symmetric-entry count (no probe join)."""
+        stats.actions += 1
+        if local_cascade:
+            rows = (
+                d.groupBy(blk_of(F.col("id")).alias("blk"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("deg").alias("mn"),
+                    F.sum("deg").alias("m"),
+                )
+                .collect()
+            )
+            if not rows:
+                return 0, None, 0, {}
+            return (
+                sum(r["n"] for r in rows),
+                min(r["mn"] for r in rows),
+                sum(r["m"] or 0 for r in rows),
+                {r["blk"]: r["mn"] for r in rows},
+            )
+        b = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("deg").alias("mn"),
+            F.sum("deg").alias("m"),
+        ).first()
+        return b["n"], b["mn"], b["m"] or 0, {}
 
     # Peeled batches accumulate as cached per-round selections and fold
     # into one truncated union on a DOUBLING cadence — O(log rounds) fold
@@ -430,7 +681,13 @@ def _peel(
                 edges.join(survivors.withColumnRenamed("id", "src"), "src", "left_semi")
                 .join(survivors.withColumnRenamed("id", "dst"), "dst", "left_semi")
             )
-            edges_r = truncate_lineage(edges_r)
+            if local_cascade:
+                # keep the blk co-partitioning across the rebuild (metadata
+                # survives checkpoint_block, not truncate_lineage)
+                edges_r = checkpoint_block(edges_r.repartition(n_parts, "blk"))
+                stats.actions += 1
+            else:
+                edges_r = truncate_lineage(edges_r)
             edges.unpersist()
             edges = edges_r
 
@@ -466,18 +723,7 @@ def _peel(
 
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
-    # ONE driver action yields the alive count, the next round's minimum
-    # degree, AND the exact residual edge count: deg[v] is maintained as
-    # v's degree TO SURVIVORS, so sum(deg) over survivors equals the
-    # surviving symmetric-table entry count — no probe join needed to
-    # decide the phase-2 handoff (round 3 built+counted the residual edge
-    # set every post-threshold round just to test the cap).
-    bounds = deg.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("deg").alias("mn"),
-        F.sum("deg").alias("m"),
-    ).first()
-    alive, min_deg, res_edges = bounds["n"], bounds["mn"], bounds["m"] or 0
+    alive, min_deg, res_edges, blk_min = _bounds(deg)
     last_shrink = alive
     rounds_since_ckpt = 0
     local_finished = False
@@ -486,7 +732,8 @@ def _peel(
         if 0 < alive <= local_finish_vertices and res_edges <= local_finish_edges:
             survivors = deg.select("id")
             residual = (
-                edges.join(survivors.withColumnRenamed("id", "src"), "src", "left_semi")
+                edges.select("src", "dst")
+                .join(survivors.withColumnRenamed("id", "src"), "src", "left_semi")
                 .join(survivors.withColumnRenamed("id", "dst"), "dst", "left_semi")
             )
             kernel = _bz_finish_kernel(k_floor=k if k is not None else 0)
@@ -495,6 +742,7 @@ def _peel(
             )
             t_fin = time.time()
             local = truncate_lineage(local)  # materializes the one task
+            stats.actions += 1
             stats.local_finish_secs = round(time.time() - t_fin, 3)
             # survivors with no residual edges peel at the current k
             floor = F.lit(k if k is not None else 0).cast("long")
@@ -509,47 +757,80 @@ def _peel(
         # through empty rounds — KCore_new_v3 pays a full round per k)
         k = min_deg if k is None else max(k, min_deg)
 
-        peeled = deg.where(F.col("deg") <= k).select("id").persist()
-        n_peeled = peeled.count()
-        stats.supersteps += 1
-        if n_peeled == 0:
-            # unreachable with the min-degree jump (some vertex always has
-            # deg ≤ k = max(k, min_deg)); kept as a safety valve
-            k += 1
-            peeled.unpersist()
-            continue
+        if local_cascade:
+            # hybrid round: every block whose min residual degree ≤ k runs
+            # a full local cascade at k (closed blocks finish outright);
+            # only V-row state and boundary decrements cross the shuffle
+            active = [b for b, mn in blk_min.items() if mn is not None and mn <= k]
+            kern = _block_bz_kernel(int(k), span)
+            deg_b = deg.withColumn("blk", blk_of(F.col("id")))
+            if len(active) < len(blk_min):
+                act_deg = deg_b.where(F.col("blk").isin(active))
+                inact_deg = deg_b.where(~F.col("blk").isin(active))
+                act_edges = edges.where(F.col("blk").isin(active))
+            else:
+                act_deg, inact_deg, act_edges = deg_b, None, edges
+            out = (
+                act_deg.repartition(n_parts, "blk")
+                .groupby("blk")
+                .cogroup(act_edges.groupby("blk"))
+                .applyInPandas(kern, "kind int, id long, val long")
+                .persist()
+            )
+            decs = out.where("kind = 2").groupBy("id").agg(F.sum("val").alias("dec"))
+            surv = out.where("kind = 1").select("id", F.col("val").alias("deg"))
+            if inact_deg is not None:
+                surv = surv.unionByName(inact_deg.select("id", "deg"))
+            new_deg = surv.join(decs, "id", "left").select(
+                "id", (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0))).alias("deg")
+            )
+            new_deg = truncate_lineage(new_deg)  # materializes `out` en route
+            stats.actions += 1
+            stats.supersteps += 1
+            pending.append(
+                (out, out.where("kind = 0").select("id", F.col("val").alias("coreness")))
+            )
+        else:
+            peeled = deg.where(F.col("deg") <= k).select("id").persist()
+            n_peeled = peeled.count()
+            stats.actions += 1
+            stats.supersteps += 1
+            if n_peeled == 0:
+                # unreachable with the min-degree jump (some vertex always
+                # has deg ≤ k = max(k, min_deg)); kept as a safety valve
+                k += 1
+                peeled.unpersist()
+                continue
 
-        pending.append(
-            (peeled, peeled.select("id", F.lit(k).cast("long").alias("coreness")))
-        )
+            pending.append(
+                (peeled, peeled.select("id", F.lit(k).cast("long").alias("coreness")))
+            )
+
+            # degree decrements: every edge from a peeled vertex to a
+            # survivor (reference: torch.unique — KCore_new_v3.py:68-69)
+            decr = (
+                edges.join(peeled.withColumnRenamed("id", "src"), "src", "left_semi")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.count(F.lit(1)).alias("dec"))
+            )
+            new_deg = (
+                deg.join(peeled, "id", "left_anti")
+                .join(decr, "id", "left")
+                .select(
+                    "id",
+                    (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0))).alias("deg"),
+                )
+            )
+            new_deg = truncate_lineage(new_deg)  # cut plan + stats growth
+            stats.actions += 1
+
         if len(pending) >= next_flush:
             acc = _flush(acc)
             next_flush *= 2
-
-        # degree decrements: every edge from a peeled vertex to a survivor
-        # (reference: torch.unique(return_counts) — KCore_new_v3.py:68-69)
-        decr = (
-            edges.join(peeled.withColumnRenamed("id", "src"), "src", "left_semi")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.count(F.lit(1)).alias("dec"))
-        )
-        new_deg = (
-            deg.join(peeled, "id", "left_anti")
-            .join(decr, "id", "left")
-            .select(
-                "id", (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0))).alias("deg")
-            )
-        )
-        new_deg = truncate_lineage(new_deg)  # cut plan + stats growth per round
-        bounds = new_deg.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("deg").alias("mn"),
-            F.sum("deg").alias("m"),
-        ).first()
-        alive, min_deg, res_edges = bounds["n"], bounds["mn"], bounds["m"] or 0
+        alive, min_deg, res_edges, blk_min = _bounds(new_deg)
         release_state(deg)
         deg = new_deg
-        # peeled stays persisted until its batch folds into acc (_flush)
+        # peel-batch handles stay persisted until their fold (_flush)
 
         rounds_since_ckpt += 1
         if checkpoint_dir and alive > 0 and rounds_since_ckpt >= checkpoint_every:
@@ -564,7 +845,11 @@ def _peel(
                 edges.join(survivors.withColumnRenamed("id", "src"), "src", "left_semi")
                 .join(survivors.withColumnRenamed("id", "dst"), "dst", "left_semi")
             )
-            new_edges = truncate_lineage(new_edges)
+            if local_cascade:
+                new_edges = checkpoint_block(new_edges.repartition(n_parts, "blk"))
+                stats.actions += 1
+            else:
+                new_edges = truncate_lineage(new_edges)
             release_state(edges)
             edges = new_edges
             last_shrink = alive

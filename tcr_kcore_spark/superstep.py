@@ -115,6 +115,38 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
     return out
 
 
+def checkpoint_block(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` that KEEPS the plan's partitioning metadata.
+
+    ``truncate_lineage`` rewraps the checkpointed RDD in a stat-less
+    LogicalRDD, which also drops ``outputPartitioning`` — correct for
+    per-superstep state (where carried stats grow exponentially), but wrong
+    for a long-lived co-partitioned table (the hybrid peel's blocked edge
+    set): losing the hash-partitioning metadata would make every
+    subsequent cogroup re-exchange the E-row side.  Here the plain
+    ``localCheckpoint`` frame is returned as-is — its LogicalRDD carries
+    the child's physical partitioning — and only the release handle is
+    stashed.  Safe because the table is re-checkpointed O(log) times per
+    run (shrink events), and each layer's join-stat growth over fresh
+    truncated V-row frames is additive, not the per-superstep doubling
+    truncate_lineage exists to cut.  Lineage IS cut (localCheckpoint), so
+    the frame has no dependency on previously released upstream blocks."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        ck._ckpt_jrdd = ck._jdf.queryExecution().analyzed().rdd()
+    except Exception:  # pragma: no cover - py4j accessor drift
+        global _WARNED_JRDD_ACCESSOR
+        if not _WARNED_JRDD_ACCESSOR:
+            _WARNED_JRDD_ACCESSOR = True
+            warnings.warn(
+                "checkpoint_block: could not stash checkpointed JVM RDD; "
+                "release_state will leak localCheckpoint blocks for this "
+                "session",
+                RuntimeWarning,
+            )
+    return ck
+
+
 def propagate_release(out: DataFrame, source: DataFrame) -> DataFrame:
     """Attach ``source``'s release handles to ``out`` so that
     ``release_state(out)`` frees the blocks/scratch behind ``source``
@@ -165,6 +197,9 @@ class SuperstepStats:
     # time of the single-task BZ local finisher (0.0 = finisher not taken)
     shrinks: int = 0
     local_finish_secs: float = 0.0
+    # driver-side action count (peel mode): jobs issued by the loop itself —
+    # the scale-out budget tests assert it stays O(rounds + log(rounds))
+    actions: int = 0
 
     @property
     def supersteps_per_sec(self) -> float:

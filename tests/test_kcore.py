@@ -28,17 +28,88 @@ def test_star(spark, mode):
 
 
 @pytest.mark.parametrize(
-    "mode,lfv", [("hindex", 0), ("peel", 0), ("peel", 100_000)]
+    "mode,lfv,cascade",
+    [
+        ("hindex", 0, True),
+        ("peel", 0, True),
+        ("peel", 0, False),
+        ("peel", 100_000, True),
+    ],
 )
-def test_er_graph_vs_bz_oracle(spark, mode, lfv):
-    # lfv=0 forces the pure distributed peel rounds; lfv=100k routes through
-    # the phase-2 single-task BZ finisher — both must match the oracle
+def test_er_graph_vs_bz_oracle(spark, mode, lfv, cascade):
+    # lfv=0 forces the pure distributed peel rounds (hybrid cascade and
+    # legacy one-level-per-round both); lfv=100k routes through the
+    # phase-2 single-task BZ finisher — all must match the oracle
     edges = oracles.er_graph(n=250, avg_deg=8)
     g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
-    result, _ = kcore(g, mode=mode, local_finish_vertices=lfv)
+    result, _ = kcore(
+        g, mode=mode, local_finish_vertices=lfv, local_cascade=cascade
+    )
     got = {r["id"]: r["coreness"] for r in result.collect()}
     want = oracles.coreness(edges)
     assert got == want
+
+
+def test_cascade_hub_graph_vs_bz_oracle(spark):
+    """Hybrid cascade on a Zipf hub graph with few blocks — hub vertices
+    concentrate boundary decrements onto single targets; result must
+    still equal the serial BZ oracle exactly."""
+    edges = oracles.zipf_hub_graph(n=300, m=2000, seed=7)
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    result, st = kcore(g, mode="peel", local_finish_vertices=0, n_blocks=4)
+    got = {r["id"]: r["coreness"] for r in result.collect()}
+    assert got == oracles.coreness(edges)
+
+
+def test_cascade_closed_blocks_single_activation(spark):
+    """Two disjoint ER copies on contiguous id ranges aligned with the
+    block split: each block is CLOSED (no external adjacency), so its
+    single activation runs full BZ locally — total rounds bounded by the
+    number of distinct per-block min-degree levels (2 here), a collapse
+    from the ~15 cascade rounds the legacy peel needs."""
+    e1 = oracles.er_graph(n=250, avg_deg=8)
+    e2 = [(a + 250, b + 250) for a, b in oracles.er_graph(n=250, avg_deg=8, seed=9)]
+    edges = e1 + e2
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    result, st = kcore(g, mode="peel", local_finish_vertices=0, n_blocks=2)
+    got = {r["id"]: r["coreness"] for r in result.collect()}
+    assert got == oracles.coreness(edges)
+    assert st.supersteps <= 2, st.supersteps
+
+
+def test_cascade_boundary_chain(spark):
+    """A path graph laid across 4 blocks: the level-1 cascade must cross
+    block boundaries via emitted decrements (each crossing costs one
+    global round), and every vertex still resolves to coreness 1 in a
+    handful of rounds — not the ~V/2 the legacy peel pays."""
+    n = 41
+    path = [(i, i + 1) for i in range(n - 1)]
+    g = LinkGraph.from_edges(edges_df(spark, path), directed=False)
+    result, st = kcore(g, mode="peel", local_finish_vertices=0, n_blocks=4)
+    got = {r["id"]: r["coreness"] for r in result.collect()}
+    assert got == {i: 1 for i in range(n)}
+    assert st.supersteps <= 6, st.supersteps
+
+
+def test_cascade_checkpoint_resume(spark, tmp_path):
+    """Hybrid-cascade peel interrupted mid-run resumes from the survivor
+    degrees + coreness-so-far and matches the oracle."""
+    edges = oracles.er_graph(n=300, avg_deg=10, seed=3)
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    ck = str(tmp_path / "cascade_ck")
+    partial, st1 = kcore(
+        g, mode="peel", local_finish_vertices=0, n_blocks=4,
+        checkpoint_dir=ck, checkpoint_every=3, max_iter=5,
+    )
+    assert st1.supersteps == 5
+    g2 = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    resumed, st2 = kcore(
+        g2, mode="peel", local_finish_vertices=0, n_blocks=4,
+        checkpoint_dir=ck, resume=True,
+    )
+    got = {r["id"]: r["coreness"] for r in resumed.collect()}
+    assert got == oracles.coreness(edges)
+    assert st2.resumed_from == 3
 
 
 def test_peel_midway_edge_mass_handoff(spark):
@@ -89,7 +160,10 @@ def test_peel_path_graph_output_folds_logarithmic(spark):
     n = 120
     path = [(i, i + 1) for i in range(n - 1)]
     g = LinkGraph.from_edges(edges_df(spark, path), directed=False)
-    out, stats = kcore(g, mode="peel", local_finish_vertices=0)
+    # local_cascade=False: the legacy one-level-per-round peel is the shape
+    # that produces ~V/2 rounds (the hybrid cascade collapses a path to a
+    # handful of rounds, which can't exercise the fold cadence)
+    out, stats = kcore(g, mode="peel", local_finish_vertices=0, local_cascade=False)
     rows = {r["id"]: r["coreness"] for r in out.collect()}
     assert rows == {i: 1 for i in range(n)}
     assert stats.supersteps >= n // 2 - 2
@@ -101,15 +175,19 @@ def test_peel_path_graph_output_folds_logarithmic(spark):
     )
 
 
-def test_peel_round_driver_action_budget(spark):
-    """Each peel round issues TWO Python-level driver actions — the peel
-    count and ONE combined count+min aggregation (VERDICT r2 ask #6 merged
-    the former separate min(deg) and count() actions).  Counted by
-    wrapping DataFrame.count/first/collect; raw Spark job ids cannot
-    discriminate this because AQE splits one action into several jobs
-    (broadcast/shuffle query stages)."""
-    from pyspark.sql import DataFrame
-
+@pytest.mark.parametrize("cascade", [False, True])
+def test_peel_round_driver_action_budget(spark, cascade):
+    """Each peel round issues TWO Python-level driver actions — the
+    truncation job and ONE combined bounds aggregation (count+min+sum, or
+    its per-block variant under the hybrid cascade).  Counted by wrapping
+    DataFrame.count/first/collect; raw Spark job ids cannot discriminate
+    this because AQE splits one action into several jobs (broadcast/
+    shuffle query stages).  ``stats.actions`` (the engine's own counter)
+    must agree with the wrapped count up to the LinkGraph accessors the
+    loop calls once at setup.  NOTE: the patch must target the RUNTIME
+    DataFrame class (pyspark.sql.classic in Spark 4) — patching the
+    public ``pyspark.sql.DataFrame`` base is a silent no-op because the
+    classic subclass overrides these methods."""
     from tcr_kcore_spark.graph import LinkGraph
     from tcr_kcore_spark.operators import kcore
     from tests.conftest import edges_df
@@ -118,6 +196,7 @@ def test_peel_round_driver_action_budget(spark):
     path = [(i, i + 1) for i in range(n - 1)]
     g = LinkGraph.from_edges(edges_df(spark, path), directed=False)
     g.materialize()
+    DataFrame = type(g.edges)  # the concrete runtime class
     calls = {"n": 0}
     orig = {m: getattr(DataFrame, m) for m in ("count", "first", "collect")}
 
@@ -131,16 +210,31 @@ def test_peel_round_driver_action_budget(spark):
     for m in orig:
         setattr(DataFrame, m, wrap(m))
     try:
-        out, stats = kcore(g, mode="peel", local_finish_vertices=0)
+        out, stats = kcore(
+            g, mode="peel", local_finish_vertices=0, local_cascade=cascade
+        )
     finally:
         for m, fn in orig.items():
             setattr(DataFrame, m, fn)
     rounds = stats.supersteps
-    assert rounds >= n // 2 - 2
-    # 2 actions/round + setup/fold slack; the unmerged shape needs
-    # 3/round and must fail this bound
-    budget = 2 * rounds + 20
-    assert calls["n"] <= budget, (calls["n"], rounds, budget)
+    if cascade:
+        # the hybrid collapses a path's ~V/2 cascade rounds to the
+        # cross-block boundary depth
+        assert rounds <= 6, rounds
+        per_round = 2  # truncation job + per-block bounds collect
+    else:
+        assert rounds >= n // 2 - 2
+        per_round = 3  # peel count + truncation job + bounds
+    budget = per_round * rounds + 20  # + setup/fold/shrink slack
+    assert stats.actions <= budget, (stats.actions, rounds, budget)
+    # independent cross-check: the wrapped count/first/collect calls must
+    # track the engine counter (truncation jobs are localCheckpoint-based,
+    # not wrapped, hence the two-sided slack)
+    assert abs(calls["n"] - stats.actions) <= rounds + 8, (
+        calls["n"],
+        stats.actions,
+        rounds,
+    )
     rows = {r["id"]: r["coreness"] for r in out.collect()}
     assert rows == {i: 1 for i in range(n)}
     g.unpersist()
