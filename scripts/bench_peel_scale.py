@@ -4,9 +4,15 @@ the sf0.1 co-occurrence graph (~153M symmetric-table entries, 1.28M
 vertices), one fresh JVM.  Reports rounds / shrinks / finisher-task seconds
 broken out, appending to BENCH/peel_scale.jsonl.
 
-Usage: python scripts/bench_peel_scale.py [copies] [mode]
+Usage: python scripts/bench_peel_scale.py [copies] [mode] [n_blocks]
   mode: "cascade" (default — hybrid local+global rounds) or "legacy"
   (one-level-per-round global peel, the pre-r5 shape, for A/B).
+  n_blocks: override the cascade block count.  The 64-copy graph holds
+  20k-vertex components on contiguous id ranges; the default (=shuffle
+  partitions, 32) aligns blocks with component boundaries (every block
+  CLOSED — the best case).  An n_blocks that does not divide the copy
+  layout (e.g. 48) makes every block straddle components, forcing real
+  cross-block boundary-decrement rounds — the open-block general case.
 """
 from __future__ import annotations
 
@@ -24,6 +30,7 @@ from bench import _expanded_graph, _session
 def main() -> None:
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     mode = sys.argv[2] if len(sys.argv) > 2 else "cascade"
+    n_blocks = int(sys.argv[3]) if len(sys.argv) > 3 else None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -33,13 +40,16 @@ def main() -> None:
     g, n_edges = _expanded_graph(spark, sf_dir, copies, disjoint=True)
     n_verts = g.vertices().count()
     t = time.time()
-    kc, st = kcore(g, mode="peel", local_cascade=(mode == "cascade"))
+    kc, st = kcore(
+        g, mode="peel", local_cascade=(mode == "cascade"), n_blocks=n_blocks
+    )
     n_rows = kc.count()
     wall = round(time.time() - t, 1)
     row = {
         "copies": copies,
         "cpus": cpus,
         "mode": mode,
+        "n_blocks": n_blocks,
         "edges": n_edges,
         "vertices": n_verts,
         "result_rows": n_rows,
