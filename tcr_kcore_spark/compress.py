@@ -17,10 +17,13 @@ out-neighbor sets through virtual set-nodes:
 A PageRank superstep then traverses ``|direct| + |owners| + |members|``
 rows instead of ``E``: the set-node is an exact distributive factoring of
 the message sum (``Σ_{v∈owners} c_v`` forwarded to every member — exactly
-what the reference's rule nodes do with rank), so the scores are
-IDENTICAL to the uncompressed run.  The ``pagerank_factored_i8`` contract
-entry hash-checks this against the same unrolled SQL oracle as plain
-``pagerank_i8``.
+what the reference's rule nodes do with rank), so the scores equal the
+uncompressed run up to float-summation regrouping (IEEE addition is not
+associative; tests pin max |Δ| < 1e-9, not bit equality).  The
+``pagerank_factored_i8`` contract entry hash-checks against the same
+unrolled SQL oracle as plain ``pagerank_i8`` through a round-6 bridge,
+which a ~1e-9 perturbation could in principle flip at a rounding
+boundary; exact identity is not guaranteed and not claimed.
 
 Scale guards:
 

@@ -153,3 +153,22 @@ def test_rows_only_queries_run(spark, name):
     # deterministic across two runs
     again = entrymod.queries()[name](spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_sf01_suite_registered():
+    """The benched-scale (sf0.1) gate entries: every _sf01 query has an
+    oracle whose table source is the sf0.1 parquet by absolute path, and
+    the suite covers the seven bench.py headline queries + louvain_full.
+    The cells themselves run in scripts/check_parity.py and the driver
+    sweep (too heavy for the unit suite)."""
+    qs, orc = entrymod.queries(), entrymod.oracle_sql()
+    sf01 = sorted(k for k in qs if k.endswith("_sf01"))
+    assert sf01 == [
+        "bfs_sf01", "components_sf01", "degrees_sf01", "kcore_peel_sf01",
+        "louvain_full_sf01", "lpa_r2_sf01", "pagerank_i8_sf01",
+        "triangles_sf01",
+    ]
+    for k in sf01:
+        assert k in orc, k
+        assert "read_parquet('" + entrymod.SF01_DIR in orc[k], k
+        assert " lineitem" not in orc[k], k  # fully rebound, no sf0.01 view
