@@ -1,13 +1,22 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed in Arrow batches via mapInPandas.
 
-The container has no image/audio codecs, so the decode kernels are STUBS:
-``decode_image`` raises NotImplementedError unless ``fake=True``, in which
-case a deterministic fake decoder (shape + checksum derived from the bytes)
-stands in.  Everything AROUND the kernel is real and tested — the schema
-contract, the Arrow batch path, the batch-size control, the partitioning —
-so swapping in a real codec (PIL/ffmpeg) on a production cluster is a
-one-function change.
+Decode support is split by container class:
+
+- **Uncompressed containers decode for real.**  Binary PPM (``P6``) needs
+  no system codec — a header parse plus a NumPy reshape — so
+  ``decode_ppm`` is a real decoder (magic + comment/whitespace grammar +
+  payload-length validation) and ``decode_and_featurize`` computes real
+  pixel statistics (channel means, std, gradient energy) from the decoded
+  array.  The emitted width/height come from the PARSED HEADER, not the
+  metadata column, so a correctness check on them proves decode happened.
+- **Compressed codecs stay stubbed.**  JPEG/PNG/audio/video need system
+  libraries absent from this container; those rows raise
+  NotImplementedError unless ``fake=True`` routes them through the
+  deterministic fake decoder.  Swapping in PIL/ffmpeg on a production
+  cluster is a one-function change — the Spark-side contract (schema,
+  Arrow batching, partitioning) is identical for real and fake kernels,
+  as the P6 path demonstrates.
 
 Schema convention for a multimodal table:
 
@@ -20,6 +29,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -75,15 +85,125 @@ def _fake_decode(media: bytes, width: int | None, height: int | None):
     return d.hex()[:16], feat
 
 
+# -- real uncompressed-container codec: binary PPM (P6) ----------------------
+
+
+def synth_ppm_pixels(sample_id: int, width: int, height: int) -> np.ndarray:
+    """Deterministic RGB pixel array — pure arithmetic so oracles can
+    re-derive it without importing any Spark-side code:
+    ``pix[y, x, c] = (13*sample_id + 3*x + 7*y + 11*c) % 256``."""
+    y, x, c = np.ogrid[0:height, 0:width, 0:3]
+    return ((13 * sample_id + 3 * x + 7 * y + 11 * c) % 256).astype(np.uint8)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Serialize an (H, W, 3) uint8 array as a binary PPM (P6) container."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError(f"expected (H, W, 3) uint8, got {pixels.shape} {pixels.dtype}")
+    h, w = pixels.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """REAL decoder for the binary PPM (P6) container: parses the netpbm
+    header grammar (magic, ``#`` comments, arbitrary whitespace, maxval)
+    and returns the (H, W, 3) uint8 pixel array.  Raises ValueError on a
+    malformed header, unsupported maxval, or truncated payload."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 ppm")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(data):
+            raise ValueError("truncated ppm header")
+        b = data[pos : pos + 1]
+        if b == b"#":  # comment runs to end of line
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+        elif b.isspace():
+            pos += 1
+        elif b.isdigit():
+            start = pos
+            while pos < len(data) and data[pos : pos + 1].isdigit():
+                pos += 1
+            fields.append(int(data[start:pos]))
+        else:
+            raise ValueError(f"bad ppm header byte {b!r} at {pos}")
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    pos += 1  # single whitespace byte separates header from payload
+    payload = data[pos : pos + w * h * 3]
+    if len(payload) != w * h * 3:
+        raise ValueError(f"truncated ppm payload: {len(payload)} != {w * h * 3}")
+    return np.frombuffer(payload, dtype=np.uint8).reshape(h, w, 3)
+
+
+def image_features(pixels: np.ndarray) -> list[float]:
+    """8-dim real feature vector from a decoded (H, W, 3) uint8 image:
+    per-channel means, global std, mean |∂x| and |∂y| (gradient energy),
+    min, max — all normalized to [0, 1].  float64 throughout so an
+    independent NumPy re-derivation is bit-identical."""
+    f = pixels.astype(np.float64) / 255.0
+    gx = np.abs(np.diff(f, axis=1)).mean() if f.shape[1] > 1 else 0.0
+    gy = np.abs(np.diff(f, axis=0)).mean() if f.shape[0] > 1 else 0.0
+    return [
+        float(f[:, :, 0].mean()),
+        float(f[:, :, 1].mean()),
+        float(f[:, :, 2].mean()),
+        float(f.std()),
+        float(gx),
+        float(gy),
+        float(f.min()),
+        float(f.max()),
+    ]
+
+
+def _real_decode(media: bytes):
+    """Dispatch on container magic.  P6 → real decode (checksum is the
+    sha256 of the DECODED pixel buffer — provably post-decode, a byte
+    pass-through cannot produce it).  Anything else is a compressed codec
+    this container cannot decode."""
+    if media[:2] == b"P6":
+        pixels = decode_ppm(media)
+        cks = hashlib.sha256(pixels.tobytes()).hexdigest()[:16]
+        return cks, image_features(pixels), pixels.shape[1], pixels.shape[0]
+    raise NotImplementedError(
+        f"no codec for container magic {media[:4]!r} in this container; "
+        "P6 ppm decodes natively — install PIL/ffmpeg on the cluster for "
+        "compressed formats, or use fake=True"
+    )
+
+
+def synth_ppm_media_table(spark, n: int = 48, seed: int = 42) -> DataFrame:
+    """Deterministic REAL-image media table: each row is a valid binary
+    PPM (P6) payload of varying size (``w = 8 + i % 5``, ``h = 6 + i % 4``,
+    pixels from ``synth_ppm_pixels``), every third one carrying a header
+    comment — exercising the netpbm grammar, not just the happy path.
+    ``seed`` shifts sample ids so two tables share no payloads."""
+    rows = []
+    for i in range(n):
+        sid = seed * 1000 + i
+        w, h = 8 + i % 5, 6 + i % 4
+        data = encode_ppm(synth_ppm_pixels(sid, w, h))
+        if i % 3 == 0:  # splice a comment line into the header
+            head, rest = data.split(b"\n", 1)
+            data = head + b"\n# synth fixture\n" + rest
+        rows.append((sid, "image", bytearray(data), (w, h, None, None)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def decode_and_featurize(
     df: DataFrame, fake: bool = True, batch_size: int = 256
 ) -> DataFrame:
     """Decode media bytes and emit per-sample features, Arrow-batched.
 
-    Real deployment: replace ``_fake_decode`` with PIL/torchaudio/ffmpeg —
-    the Spark-side contract (schema, batching, partitioning) is unchanged.
-    ``fake=False`` raises NotImplementedError from the workers (codecs not
-    available in this container).
+    ``fake=False`` decodes FOR REAL where the container allows it (binary
+    PPM / P6 — see ``_real_decode``); rows holding compressed codecs
+    (JPEG/PNG/audio/video) raise NotImplementedError from the workers.
+    ``fake=True`` routes every row through the deterministic fake decoder
+    (width/height pass through from metadata).  Real and fake kernels share
+    the identical Spark-side contract — schema, Arrow batching,
+    partitioning — so swapping in PIL/ffmpeg is a one-function change.
     """
     conf_df = df.select("sample_id", "modality", "media", "meta.width", "meta.height")
 
@@ -97,20 +217,24 @@ def decode_and_featurize(
                     "modality": chunk["modality"],
                     "n_bytes": chunk["media"].map(lambda b: len(b) if b is not None else 0),
                     "checksum": [],
-                    "width": chunk["width"],
-                    "height": chunk["height"],
+                    "width": [],
+                    "height": [],
                     "feat": [],
                 }
                 for media, w, h in zip(chunk["media"], chunk["width"], chunk["height"]):
-                    if not fake:
-                        raise NotImplementedError(
-                            "real media codecs are not available in this container; "
-                            "use fake=True or install PIL/ffmpeg on the cluster"
-                        )
-                    cks, feat = _fake_decode(bytes(media or b""), w, h)
+                    if fake:
+                        cks, feat = _fake_decode(bytes(media or b""), w, h)
+                    else:
+                        cks, feat, w, h = _real_decode(bytes(media or b""))
                     out["checksum"].append(cks)
+                    out["width"].append(w)
+                    out["height"].append(h)
                     out["feat"].append(feat)
-                yield pd.DataFrame(out)
+                yield pd.DataFrame(
+                    out,
+                    # width/height may be all-None in a fake batch; pin the
+                    # dtype so Arrow doesn't infer object
+                ).astype({"width": "Int32", "height": "Int32"})
 
     return df.sparkSession.createDataFrame([], FEATURES_SCHEMA) if df.isEmpty() else (
         conf_df.mapInPandas(_batches, FEATURES_SCHEMA)

@@ -27,11 +27,71 @@ def test_multimodal_decode_plumbing(spark):
     assert again == {k: v["checksum"] for k, v in by_id.items()}
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
+def test_multimodal_compressed_decode_is_stubbed(spark):
+    """Non-P6 payloads (stand-ins for JPEG/PNG/audio) still raise under
+    fake=False — only the uncompressed container decodes natively."""
     media = synth_media_table(spark, n=4)
     with pytest.raises(Exception) as exc:
         decode_and_featurize(media, fake=False).collect()
-    assert "NotImplementedError" in str(exc.value) or "codecs" in str(exc.value)
+    assert "NotImplementedError" in str(exc.value) or "codec" in str(exc.value)
+
+
+def test_ppm_codec_roundtrip_and_grammar():
+    import numpy as np
+
+    from tcr_kcore_spark.functions.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        synth_ppm_pixels,
+    )
+
+    pix = synth_ppm_pixels(7, 11, 5)
+    data = encode_ppm(pix)
+    assert np.array_equal(decode_ppm(data), pix)
+    # netpbm grammar: comments + arbitrary whitespace in the header
+    head, rest = data.split(b"\n", 1)
+    assert np.array_equal(decode_ppm(head + b"\n# c1\n  # c2\n\t" + rest), pix)
+    with pytest.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4)
+    with pytest.raises(ValueError, match="truncated ppm payload"):
+        decode_ppm(data[:-1])
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="truncated ppm header"):
+        decode_ppm(b"P6\n2 2")
+
+
+def test_ppm_real_decode_features_vs_numpy(spark):
+    """fake=False end-to-end on real P6 payloads: header-parsed dims and
+    post-decode checksums AND the 8-dim pixel statistics match an
+    independent NumPy re-derivation, bit-for-bit (float64 both sides)."""
+    import hashlib
+
+    import numpy as np
+
+    from tcr_kcore_spark.functions.multimodal import (
+        decode_and_featurize,
+        synth_ppm_media_table,
+    )
+
+    media = synth_ppm_media_table(spark, n=17, seed=9)
+    rows = {r["sample_id"]: r for r in decode_and_featurize(media, fake=False).collect()}
+    assert len(rows) == 17
+    for i in range(17):
+        sid = 9000 + i
+        w, h = 8 + i % 5, 6 + i % 4
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        pix = ((13 * sid + 3 * x + 7 * y + 11 * c) % 256).astype(np.uint8)
+        r = rows[sid]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["checksum"] == hashlib.sha256(pix.tobytes()).hexdigest()[:16]
+        f = pix.astype(np.float64) / 255.0
+        expect = [
+            f[:, :, 0].mean(), f[:, :, 1].mean(), f[:, :, 2].mean(), f.std(),
+            np.abs(np.diff(f, axis=1)).mean(), np.abs(np.diff(f, axis=0)).mean(),
+            f.min(), f.max(),
+        ]
+        assert r["feat"] == [float(v) for v in expect], sid
 
 
 def test_frame_sample_plan(spark):
