@@ -90,7 +90,14 @@ def _run_headline(sf_dir: str, cpus: int, passes: int = 3) -> dict:
     def q_kcore(spark, g):
         from tcr_kcore_spark.operators import kcore
 
-        kc, st = kcore(g, mode="hindex")
+        # chained supersteps (K h-rounds per materialize/convergence-check
+        # action): the round-3 A/B (BENCH/ab_kcore_chain.jsonl) showed
+        # chain+cache strictly beats unchained at 306M edges, and at sf0.1
+        # the per-action fixed cost dominates the 38-round run outright.
+        # Monotone h-operator => the up-to-K-1 overshoot rounds past the
+        # fixpoint are no-ops (changed-set pruning makes them ~free).
+        chain = int(os.environ.get("SPARK_GRAFT_KCORE_CHAIN", "4"))
+        kc, st = kcore(g, mode="hindex", truncate_every=chain)
         kc.count()
         return {"kcore_supersteps": st.supersteps}
 
