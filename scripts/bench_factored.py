@@ -7,11 +7,14 @@ BENCH/corpus_pipeline.jsonl is the LOSS case: ratio 0.9934, factored 3.6×
 slower; this script records the other side.)
 
 Graph: N files, L bundles of S libraries each (bundles disjoint).  File i
-imports every library of bundle ``i % L`` (N identical-out-set vertices per
-bundle ⇒ everything factors), plus one direct file→file edge per file so
-the direct table is non-empty.  |E| = N·S + N; factored rows ≈ N(owners)
-+ L·S(members) + N(direct) ⇒ ratio ≈ (2N + L·S)/(N·S + N) ≈ 2/S for
-L·S ≪ N.
+imports every library of bundle ``i % L`` and NOTHING else — the factoring
+key is the WHOLE out-set, so any per-file extra edge would make every set
+unique and factor nothing (the first cut of this script did exactly that:
+ratio 1.0).  Each library instead gets one chain edge lib→next-lib — a
+unique singleton out-set that stays in the direct table (non-empty direct
+path, no dangling library vertices).  |E| = N·S + L·S; factored rows ≈
+N(owners) + L·S(members) + L·S(direct) ⇒ ratio ≈ (N + 2·L·S)/((N+L)·S)
+≈ 1/S for L·S ≪ N.
 
 Built entirely with spark.range + JVM expressions (no driver-side rows).
 Fresh JVM; appends to BENCH/corpus_pipeline.jsonl with kind=win_case.
@@ -55,8 +58,12 @@ def main() -> None:
     imports = files.withColumn("bundle", F.pmod("src", F.lit(l_bundles))).join(
         bundle_members, "bundle"
     ).select("src", "dst")
-    chain = files.select("src", F.pmod(F.col("src") + 1, F.lit(n_files)).alias("dst"))
-    edges = imports.unionByName(chain).persist()
+    n_libs = l_bundles * s_libs
+    lib_chain = spark.range(n_libs).select(
+        (F.col("id") + n_files).alias("src"),
+        (F.pmod(F.col("id") + 1, F.lit(n_libs)) + n_files).alias("dst"),
+    )
+    edges = imports.unionByName(lib_chain).persist()
     n_edges = edges.count()
 
     g = LinkGraph(edges, directed=True)

@@ -53,7 +53,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tcr_kcore_spark.graph import LinkGraph
-from tcr_kcore_spark.plans.partitioning import broadcast_max_rows, state_side
+from tcr_kcore_spark.plans.partitioning import (
+    broadcast_max_rows,
+    plan_superstep_edges,
+    state_side,
+)
 from tcr_kcore_spark.superstep import (
     SuperstepStats,
     propagate_release,
@@ -139,38 +143,56 @@ def pagerank_factored(
     truncate_every: int = 1,
 ) -> tuple[DataFrame, SuperstepStats]:
     """Fixed-iteration PageRank over the factored representation — D1
-    semantics (init 1.0, ``r' = 0.15 + 0.85·Σ r_u/outdeg_u``), scores
-    identical to the plain operator because the set-node factoring is an
-    exact regrouping of the same sum."""
+    semantics (init 1.0, ``r' = 0.15 + 0.85·Σ r_u/outdeg_u``), equal to
+    the plain operator up to float-summation regrouping (the set-node
+    factoring is an algebraic regrouping of the same sum; IEEE addition is
+    not associative — tests pin max |Δ| < 1e-9, not bit equality).
+
+    Loop discipline mirrors ``pagerank`` so the row reduction actually
+    lands as wall-clock: ``damping/outdeg`` is constant-folded into BOTH
+    cached fan-in tables at build time (no per-superstep w-join, and the
+    state is joined pre-weighted so its subplan is not executed twice),
+    and both tables are hash-partitioned ONCE for the whole loop via the
+    same regime rule as plain edges (broadcast regime: partition for the
+    downstream aggregation; shuffle regime: partition by ``src`` so the
+    per-superstep exchange is the V-row state meeting the cached tables,
+    never the tables themselves).  The per-set sums (≤ one row per shared
+    set) broadcast to the members fan-out when they fit."""
     verts = cg.verts.persist()
     n = verts.count()
     bcast = n <= broadcast_max_rows()
-    # fold damping/outdeg into a per-source contribution weight once
     w = cg.out_deg.select(
         F.col("id").alias("src"), (F.lit(damping) / F.col("out_deg")).alias("w")
+    )
+    direct_w = plan_superstep_edges(cg.direct.join(w, "src"), bcast).persist()
+    owners_w = cg.owners.join(w, "src")
+    # broadcast regime: the state join is map-side, so a (vh1, vh2)
+    # partitioning survives it and the per-set groupBy needs no exchange;
+    # shuffle regime: partition by src so the state exchange meets it.
+    owners_w = (
+        owners_w.repartition("vh1", "vh2") if bcast else owners_w.repartition("src")
     ).persist()
-    w.count()
+    n_sets = owners_w.select("vh1", "vh2").distinct().count()
+    direct_w.count()
+    sets_bcast = n_sets <= broadcast_max_rows()
 
     init = verts.select("id", F.lit(1.0).alias("rank"))
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        contrib = state_side(
-            state.select(F.col("id").alias("src"), "rank").join(w, "src").select(
-                "src", (F.col("rank") * F.col("w")).alias("c")
-            ),
-            bcast,
+        s = state_side(state.withColumnRenamed("id", "src"), bcast)
+        m_direct = direct_w.join(s, "src").select(
+            F.col("dst").alias("id"), (F.col("w") * F.col("rank")).alias("c")
         )
-        m_direct = cg.direct.join(contrib, "src").select(F.col("dst").alias("id"), "c")
         # set-node accumulation (the reference's rule-node rank pass):
         # sum the owners' contributions once per set, fan out to members
         v_in = (
-            cg.owners.join(contrib, "src")
+            owners_w.join(s, "src")
             .groupBy("vh1", "vh2")
-            .agg(F.sum("c").alias("c"))
+            .agg(F.sum(F.col("w") * F.col("rank")).alias("c"))
         )
-        m_set = cg.members.join(F.broadcast(v_in) if bcast else v_in, ["vh1", "vh2"]).select(
-            F.col("dst").alias("id"), "c"
-        )
+        m_set = cg.members.join(
+            F.broadcast(v_in) if sets_bcast else v_in, ["vh1", "vh2"]
+        ).select(F.col("dst").alias("id"), "c")
         msgs = m_direct.unionByName(m_set).groupBy("id").agg(F.sum("c").alias("msg"))
         msgs_b = F.broadcast(msgs) if bcast else msgs
         return verts.join(msgs_b, "id", "left").select(
@@ -188,5 +210,6 @@ def pagerank_factored(
     )
     out = propagate_release(state.select("id", "rank"), state)
     verts.unpersist()
-    w.unpersist()
+    direct_w.unpersist()
+    owners_w.unpersist()
     return out, stats

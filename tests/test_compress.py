@@ -49,6 +49,49 @@ def test_factoring_compresses_shared_sets(spark):
     cg.unpersist()
 
 
+def test_pagerank_factored_bundle_shape(spark):
+    """The bench_factored.py win-case shape at unit scale: files import
+    exactly their bundle (identical out-sets factor wholesale), libraries
+    carry a unique chain edge (stays direct).  Pins the reworked loop
+    (pre-weighted, pre-partitioned caches) in both broadcast regimes."""
+    import os
+
+    n_files, s_libs, l_bundles = 60, 4, 3
+    edges = []
+    for f in range(n_files):
+        b = f % l_bundles
+        edges += [(f, n_files + b * s_libs + j) for j in range(s_libs)]
+    n_libs = l_bundles * s_libs
+    edges += [
+        (n_files + i, n_files + (i + 1) % n_libs) for i in range(n_libs)
+    ]
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=True)
+    for force_shuffle in (False, True):
+        if force_shuffle:
+            os.environ["SPARK_GRAFT_BROADCAST_MAX_ROWS"] = "0"
+        try:
+            cg = compress_graph(g, max_set_size=16)
+            assert cg.owners.count() == n_files
+            assert cg.members.count() == n_libs
+            assert round(cg.ratio, 3) == round(
+                (n_files + 2 * n_libs) / ((n_files + l_bundles) * s_libs), 3
+            )
+            plain = pagerank_fixed_iters(g, 6)
+            fact, _ = pagerank_factored(cg, 6)
+            diff = (
+                plain.withColumnRenamed("rank", "r1")
+                .join(fact.withColumnRenamed("rank", "r2"), "id")
+                .agg(F.max(F.abs(F.col("r1") - F.col("r2"))))
+                .first()[0]
+            )
+            assert diff < 1e-9, (force_shuffle, diff)
+            release_state(plain)
+            release_state(fact)
+            cg.unpersist()
+        finally:
+            os.environ.pop("SPARK_GRAFT_BROADCAST_MAX_ROWS", None)
+
+
 def test_pagerank_factored_equals_plain(spark):
     for builder in (
         _shared_set_graph,
