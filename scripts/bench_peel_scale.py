@@ -54,6 +54,7 @@ def main() -> None:
         "vertices": n_verts,
         "result_rows": n_rows,
         "rounds": st.supersteps,
+        "cascade_rounds": st.cascade_rounds,
         "actions": st.actions,
         "shrinks": st.shrinks,
         "local_finish_secs": st.local_finish_secs,

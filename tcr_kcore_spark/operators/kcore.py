@@ -88,6 +88,14 @@ def kcore(
     ``local_cascade=False`` keeps the one-level-per-round global peel
     (each round peels only ``deg ≤ k`` once; used for A/B benches).
 
+    The hybrid is ADAPTIVE (round 5): a cascade round pays an Arrow
+    round-trip of the active blocks' edges — a measured 7.5x regression
+    over legacy decrement rounds when blocks straddle components and
+    in-block depth is ~1 (BENCH/peel_scale.jsonl, n_blocks=48 row).  The
+    loop measures per-round peel throughput, runs the faster round type,
+    and re-probes the loser with exponential backoff (see _peel).  Set
+    SPARK_GRAFT_CASCADE_PROBE=0 to force pure cascade rounds (A/B).
+
     ``local_finish_vertices/edges`` (peel mode): once the survivor set
     shrinks below both bounds, the residual graph is peeled to completion
     inside ONE ``applyInPandas`` task (a CSR-block NumPy BZ kernel with
@@ -589,10 +597,13 @@ def _peel(
     the whole loop — per superstep only the V-row degree table is
     exchanged to meet it, and the cogrouped ``_block_bz_kernel`` runs a
     whole fixed-k cascade (or a full BZ finish for closed blocks) per
-    block per round.  Driver-action budget per round: exactly 2 (the
-    state truncation job + the per-block bounds collect), plus O(log
-    rounds) coreness folds and O(log V) shrink re-materializations —
-    ``stats.actions`` counts them and tests assert the budget."""
+    block per round.  Driver-action budget per round: exactly 2 for a
+    cascade round (the state truncation job + the per-block bounds
+    collect) and 3 for a legacy round (plus the frontier count that
+    gives the planner the frontier's true size so the decrement join
+    broadcasts it), plus O(log rounds) coreness folds and O(log V)
+    shrink re-materializations — ``stats.actions`` counts them and tests
+    assert the budget."""
     import json
     import os
 
@@ -727,6 +738,26 @@ def _peel(
     last_shrink = alive
     rounds_since_ckpt = 0
     local_finished = False
+    # --- adaptive round-type controller (local_cascade only).  A cascade
+    # round collapses all in-block depth at the current k (and finishes
+    # closed blocks outright) but pays an Arrow round-trip of the active
+    # blocks' edges; a legacy decrement round advances one peel level via
+    # cheap JVM aggregations.  Neither dominates: aligned/closed blocks
+    # peel in ONE cascade round (153M-edge bench: 144 rounds -> 1), while
+    # a homogeneous graph whose blocks straddle components pays the full
+    # Arrow cost per round for ~one level of progress (measured 7.5x WORSE
+    # than legacy, BENCH/peel_scale.jsonl n_blocks=48).  So the loop
+    # measures peel throughput (vertices/sec) per round type, runs the
+    # incumbent, and re-probes the other type with exponential backoff
+    # (immediately after shrinks, which change both types' costs).
+    # SPARK_GRAFT_CASCADE_PROBE=0 forces pure cascade rounds (A/B).
+    probing_on = os.environ.get("SPARK_GRAFT_CASCADE_PROBE", "1") != "0"
+    incumbent = "cascade"
+    pps: dict = {"cascade": None, "legacy": None}
+    # first probe right after round 1: round 1 is where an aligned/closed
+    # layout finishes outright, so an early probe costs nothing there and
+    # caps the adversarial case at ONE full-price cascade round
+    probe_countdown, stick = 1, 4
     while alive > 0 and stats.supersteps < max_iter:
         # phase-2 handoff: peel the small residual to completion in ONE task
         if 0 < alive <= local_finish_vertices and res_edges <= local_finish_edges:
@@ -757,7 +788,19 @@ def _peel(
         # through empty rounds — KCore_new_v3 pays a full round per k)
         k = min_deg if k is None else max(k, min_deg)
 
-        if local_cascade:
+        if not local_cascade:
+            round_mode, probing = "legacy", False
+        elif not probing_on:
+            round_mode, probing = "cascade", False
+        elif probe_countdown <= 0:
+            round_mode = "legacy" if incumbent == "cascade" else "cascade"
+            probing = True
+        else:
+            round_mode, probing = incumbent, False
+        prev_alive = alive
+        t_round = time.time()
+
+        if round_mode == "cascade":
             # hybrid round: every block whose min residual degree ≤ k runs
             # a full local cascade at k (closed blocks finish outright);
             # only V-row state and boundary decrements cross the shuffle
@@ -787,11 +830,17 @@ def _peel(
             new_deg = truncate_lineage(new_deg)  # materializes `out` en route
             stats.actions += 1
             stats.supersteps += 1
+            stats.cascade_rounds += 1
             pending.append(
                 (out, out.where("kind = 0").select("id", F.col("val").alias("coreness")))
             )
         else:
             peeled = deg.where(F.col("deg") <= k).select("id").persist()
+            # the count is not just a safety valve: materializing the
+            # frontier cache gives the planner its true (tiny) size, so
+            # the decrement join broadcasts it instead of shuffling the
+            # full edge table (measured 2 s vs ~10 s per round at 153M
+            # edges when the stats are missing)
             n_peeled = peeled.count()
             stats.actions += 1
             stats.supersteps += 1
@@ -830,6 +879,25 @@ def _peel(
         alive, min_deg, res_edges, blk_min = _bounds(new_deg)
         release_state(deg)
         deg = new_deg
+
+        if local_cascade and probing_on:
+            # refresh this round type's measured peel throughput; on a
+            # probe round, flip the incumbent only on a clear (1.3x) win,
+            # else back off the next probe exponentially
+            rate = (max(prev_alive - alive, 0) + 1) / max(
+                time.time() - t_round, 1e-3
+            )
+            pps[round_mode] = rate
+            if probing:
+                inc_rate = pps[incumbent]
+                if inc_rate is None or rate > 1.3 * inc_rate:
+                    incumbent = round_mode
+                    stick = 4
+                else:
+                    stick = min(stick * 2, 64)
+                probe_countdown = stick
+            else:
+                probe_countdown -= 1
         # peel-batch handles stay persisted until their fold (_flush)
 
         rounds_since_ckpt += 1
@@ -854,6 +922,8 @@ def _peel(
             edges = new_edges
             last_shrink = alive
             stats.shrinks += 1
+            # a shrink changes both round types' costs — re-probe soon
+            probe_countdown = min(probe_countdown, 2)
 
     acc = _flush(acc)
     if acc is None:

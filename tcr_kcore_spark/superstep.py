@@ -200,6 +200,9 @@ class SuperstepStats:
     # driver-side action count (peel mode): jobs issued by the loop itself —
     # the scale-out budget tests assert it stays O(rounds + log(rounds))
     actions: int = 0
+    # adaptive hybrid peel: how many rounds ran the per-block cascade
+    # kernel (the rest were legacy decrement rounds chosen by the probe)
+    cascade_rounds: int = 0
 
     @property
     def supersteps_per_sec(self) -> float:

@@ -61,12 +61,15 @@ def test_cascade_hub_graph_vs_bz_oracle(spark):
     assert got == oracles.coreness(edges)
 
 
-def test_cascade_closed_blocks_single_activation(spark):
+def test_cascade_closed_blocks_single_activation(spark, monkeypatch):
     """Two disjoint ER copies on contiguous id ranges aligned with the
     block split: each block is CLOSED (no external adjacency), so its
     single activation runs full BZ locally — total rounds bounded by the
     number of distinct per-block min-degree levels (2 here), a collapse
-    from the ~15 cascade rounds the legacy peel needs."""
+    from the ~15 cascade rounds the legacy peel needs.  Probing disabled:
+    the adaptive controller would insert a legacy probe between the two
+    activations (timing-dependent round counts)."""
+    monkeypatch.setenv("SPARK_GRAFT_CASCADE_PROBE", "0")
     e1 = oracles.er_graph(n=250, avg_deg=8)
     e2 = [(a + 250, b + 250) for a, b in oracles.er_graph(n=250, avg_deg=8, seed=9)]
     edges = e1 + e2
@@ -77,11 +80,14 @@ def test_cascade_closed_blocks_single_activation(spark):
     assert st.supersteps <= 2, st.supersteps
 
 
-def test_cascade_boundary_chain(spark):
+def test_cascade_boundary_chain(spark, monkeypatch):
     """A path graph laid across 4 blocks: the level-1 cascade must cross
     block boundaries via emitted decrements (each crossing costs one
     global round), and every vertex still resolves to coreness 1 in a
-    handful of rounds — not the ~V/2 the legacy peel pays."""
+    handful of rounds — not the ~V/2 the legacy peel pays.  Probing is
+    disabled so the round-count assert pins the pure cascade (the
+    adaptive controller's probe rounds are timing-dependent)."""
+    monkeypatch.setenv("SPARK_GRAFT_CASCADE_PROBE", "0")
     n = 41
     path = [(i, i + 1) for i in range(n - 1)]
     g = LinkGraph.from_edges(edges_df(spark, path), directed=False)
@@ -89,6 +95,23 @@ def test_cascade_boundary_chain(spark):
     got = {r["id"]: r["coreness"] for r in result.collect()}
     assert got == {i: 1 for i in range(n)}
     assert st.supersteps <= 6, st.supersteps
+    assert st.cascade_rounds == st.supersteps
+
+
+def test_adaptive_probe_mixed_rounds(spark):
+    """Default adaptive hybrid on a deep path: the controller starts in
+    cascade mode, probes a legacy round after the backoff elapses, and
+    the mixed cascade/legacy round sequence still produces exact
+    coreness.  Round counts are NOT pinned (mode choice is measured
+    throughput, i.e. timing) — only correctness and the mix telemetry."""
+    n = 61
+    path = [(i, i + 1) for i in range(n - 1)]
+    g = LinkGraph.from_edges(edges_df(spark, path), directed=False)
+    result, st = kcore(g, mode="peel", local_finish_vertices=0, n_blocks=4)
+    got = {r["id"]: r["coreness"] for r in result.collect()}
+    assert got == {i: 1 for i in range(n)}
+    assert 1 <= st.cascade_rounds <= st.supersteps
+    assert st.supersteps <= n  # never worse than pure legacy's ~V/2 + slack
 
 
 def test_cascade_checkpoint_resume(spark, tmp_path):
@@ -176,7 +199,7 @@ def test_peel_path_graph_output_folds_logarithmic(spark):
 
 
 @pytest.mark.parametrize("cascade", [False, True])
-def test_peel_round_driver_action_budget(spark, cascade):
+def test_peel_round_driver_action_budget(spark, cascade, monkeypatch):
     """Each peel round issues TWO Python-level driver actions — the
     truncation job and ONE combined bounds aggregation (count+min+sum, or
     its per-block variant under the hybrid cascade).  Counted by wrapping
@@ -187,7 +210,10 @@ def test_peel_round_driver_action_budget(spark, cascade):
     loop calls once at setup.  NOTE: the patch must target the RUNTIME
     DataFrame class (pyspark.sql.classic in Spark 4) — patching the
     public ``pyspark.sql.DataFrame`` base is a silent no-op because the
-    classic subclass overrides these methods."""
+    classic subclass overrides these methods.  Probing is disabled: the
+    adaptive controller's probe rounds are timing-dependent, and this
+    test pins the per-round-type budgets."""
+    monkeypatch.setenv("SPARK_GRAFT_CASCADE_PROBE", "0")
     from tcr_kcore_spark.graph import LinkGraph
     from tcr_kcore_spark.operators import kcore
     from tests.conftest import edges_df
