@@ -91,12 +91,13 @@ def _run_headline(sf_dir: str, cpus: int, passes: int = 3) -> dict:
         from tcr_kcore_spark.operators import kcore
 
         # chained supersteps (K h-rounds per materialize/convergence-check
-        # action): the round-3 A/B (BENCH/ab_kcore_chain.jsonl) showed
-        # chain+cache strictly beats unchained at 306M edges, and at sf0.1
-        # the per-action fixed cost dominates the 38-round run outright.
-        # Monotone h-operator => the up-to-K-1 overshoot rounds past the
-        # fixpoint are no-ops (changed-set pruning makes them ~free).
-        chain = int(os.environ.get("SPARK_GRAFT_KCORE_CHAIN", "4"))
+        # action): the 306M-edge A/B (BENCH/ab_kcore_chain.jsonl) favors
+        # chain=4, but at sf0.1 the same A/B reads the other way
+        # (chain=4: 27.6-32.6s incl. 2 overshoot rounds vs chain=1/2:
+        # 17.7-18.4s) — the intermediate-state persists cost more than the
+        # tiny per-step work they save.  Headline default stays 1; the env
+        # var exists for scale experiments.
+        chain = int(os.environ.get("SPARK_GRAFT_KCORE_CHAIN", "1"))
         kc, st = kcore(g, mode="hindex", truncate_every=chain)
         kc.count()
         return {"kcore_supersteps": st.supersteps}
