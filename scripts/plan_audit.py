@@ -93,6 +93,72 @@ def hindex_round_plan(spark, sf_dir: str) -> str:
     return f"regime={'broadcast' if bcast else 'shuffle'} (V={n})\n" + plan
 
 
+def factored_superstep_plan(spark, sf_dir: str) -> str:
+    """The factored-PR message superstep (compress.py pagerank_factored):
+    m_direct ∪ m_set → groupBy(id).  Contract: the cached fan-in tables
+    (direct_w dst/src-partitioned, owners_w (vh1,vh2)/src-partitioned)
+    join WITHOUT an Exchange on their side; per-superstep hash exchanges
+    are V-scale or set-scale, never E-scale — broadcast regime pays 1
+    (the unioned map-side-combined messages; the union discards the
+    cached partitioning, unlike plain PR's 0), shuffle regime ≤ 4 (two
+    state-to-cache exchanges + the per-set combine + the message
+    combine)."""
+    from pyspark.sql import functions as F
+
+    from tcr_kcore_spark.compress import compress_graph
+    from tcr_kcore_spark.graph import LinkGraph
+    from tcr_kcore_spark.plans.partitioning import (
+        broadcast_max_rows,
+        plan_superstep_edges,
+        state_side,
+    )
+    from tcr_kcore_spark.sources.relational import cooccurrence_edges
+
+    g = LinkGraph(cooccurrence_edges(spark, sf_dir), directed=True)
+    verts = g.vertices()
+    n = verts.count()
+    bcast = n <= broadcast_max_rows()
+    cg = compress_graph(g)
+    w = cg.out_deg.select(
+        F.col("id").alias("src"), (F.lit(0.85) / F.col("out_deg")).alias("w")
+    )
+    direct_w = plan_superstep_edges(cg.direct.join(w, "src"), bcast).persist()
+    owners_w = cg.owners.join(w, "src")
+    owners_w = (
+        owners_w.repartition("vh1", "vh2") if bcast else owners_w.repartition("src")
+    ).persist()
+    direct_w.count()
+    owners_w.count()
+    s = state_side(
+        verts.select(F.col("id").alias("src"), F.lit(1.0).alias("rank")), bcast
+    )
+    m_direct = direct_w.join(s, "src").select(
+        F.col("dst").alias("id"), (F.col("w") * F.col("rank")).alias("c")
+    )
+    v_in = (
+        owners_w.join(s, "src")
+        .groupBy("vh1", "vh2")
+        .agg(F.sum(F.col("w") * F.col("rank")).alias("c"))
+    )
+    m_set = cg.members.join(F.broadcast(v_in), ["vh1", "vh2"]).select(
+        F.col("dst").alias("id"), "c"
+    )
+    msgs = m_direct.unionByName(m_set).groupBy("id").agg(F.sum("c").alias("msg"))
+    tag = f"regime={'broadcast' if bcast else 'shuffle'} (V={n})\n"
+    # report per branch: the split-at-first-InMemoryRelation exchange count
+    # is exact only for single-cache subplans (the union plan prints the
+    # second branch after the first cache, where the heuristic stops)
+    plans = {
+        "m_direct branch": tag + m_direct._jdf.queryExecution().executedPlan().toString(),
+        "v_in branch": tag + v_in._jdf.queryExecution().executedPlan().toString(),
+        "msgs top": tag + msgs._jdf.queryExecution().executedPlan().toString(),
+    }
+    direct_w.unpersist()
+    owners_w.unpersist()
+    cg.unpersist()
+    return plans
+
+
 def _report(title: str, plan: str, max_exchanges: int) -> None:
     # everything below the first InMemoryRelation is the ONE-TIME cache
     # build, not per-superstep work
@@ -139,6 +205,20 @@ def main() -> None:
             hindex_round_plan(spark, sf_dir),
             0 if forced is None else 3,
         )
+        # factored-PR message superstep, per branch: broadcast regime —
+        # both cached-table branches 0 exchanges, the unioned message
+        # combine 1 (the union discards the cached partitioning, unlike
+        # plain PR's 0); shuffle regime — m_direct 1 (state meets the
+        # cache), v_in 2 (state + per-set combine), msgs top 1.  All
+        # V-scale or set-scale, never E-scale.
+        fplans = factored_superstep_plan(spark, sf_dir)
+        fbounds = (
+            {"m_direct branch": 0, "v_in branch": 0, "msgs top": 1}
+            if forced is None
+            else {"m_direct branch": 1, "v_in branch": 2, "msgs top": 1}
+        )
+        for name, plan in fplans.items():
+            _report(f"factored-PR {name}", plan, fbounds[name])
         spark.stop()
 
 
