@@ -1272,6 +1272,80 @@ def q_lsh_recall(spark, sf_dir):
     )
 
 
+NEARDUP_TAU = 0.4  # the sf0.01/sf0.1 embeddings are near-orthogonal
+# (max pair cosine 0.51/0.60), so 0.4 is the regime with a non-trivial
+# exact pair set (59 / 920 pairs); the closest pair cosine to the
+# threshold sits 1.3e-4 / 9.9e-6 away — orders of magnitude above any
+# cross-engine float-regrouping noise, so the ≥ filter is hash-stable.
+
+
+def q_embed_neardup(spark, sf_dir):
+    """EXACT embedding-cosine near-duplicate pairs (cos ≥ 0.4) — the fifth
+    dedup modality (beside exact-hash/MinHash/SimHash/Jaccard), hash-checked
+    against DuckDB's list_cosine_similarity over the same parquet.  Spark
+    plan: vectors unit-normalized once, self-join a < b, JVM-side dot —
+    the documented O(n²/2) baseline whose scale path is the LSH variant."""
+    from tcr_kcore_spark.functions.similarity import cosine_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=NEARDUP_TAU)
+
+
+EMBED_NEARDUP_SQL = (
+    "WITH sims AS MATERIALIZED ("
+    "SELECT a.vec_id AS a, b.vec_id AS b, "
+    "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])) AS s "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)\n"
+    f"SELECT a, b, round(s, 4) AS sim FROM sims WHERE s >= {NEARDUP_TAU}"
+)
+
+
+def q_embed_neardup_lsh(spark, sf_dir):
+    """LSH-bucketed near-duplicate pairs: same exact cosine filter, but the
+    pair space pruned to same-sign-band candidates (the corpus-scale path —
+    per-bucket joins instead of the O(n²) self-join).  Output ⊆ the exact
+    set by construction; no SQL oracle (the candidate set depends on seeded
+    hyperplane signs), quality pinned by embed_neardup_recall."""
+    from tcr_kcore_spark.functions.similarity import lsh_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(emb, threshold=NEARDUP_TAU, n_planes=16, bands=8)
+
+
+def q_embed_neardup_recall(spark, sf_dir):
+    """Measured recall of the LSH near-dup path against the exact cosine-
+    threshold pair set, plus a subset check (the LSH output must be a
+    subset of the exact set — its final filter is exact, so any extra row
+    is a bug, not approximation).  Bar 0.9: at the threshold cosine 0.4
+    a pair misses all 8 two-bit bands w.p. (1−0.631²)^8 ≈ 0.017, and
+    recall rises steeply above the threshold; deterministic (seeded
+    plan-time hyperplanes over deterministic data)."""
+    from tcr_kcore_spark.functions.similarity import (
+        cosine_neardup_pairs,
+        lsh_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_neardup_pairs(emb, threshold=NEARDUP_TAU).select("a", "b").persist()
+    approx = (
+        lsh_neardup_pairs(emb, threshold=NEARDUP_TAU, n_planes=16, bands=8)
+        .select("a", "b")
+        .persist()
+    )
+    n_true = exact.count()
+    n_approx = approx.count()
+    n_found = exact.join(approx, ["a", "b"], "left_semi").count()
+    exact.unpersist()
+    approx.unpersist()
+    recall = round(n_found / n_true, 6) if n_true else 1.0
+    return spark.createDataFrame(
+        [(n_true, n_found, recall, recall >= 0.9, n_approx == n_found)],
+        "n_true long, n_found long, recall double, meets_bar boolean, "
+        "subset_ok boolean",
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing through the Arrow decode/featurize path on the
     deterministic fake media table (the sf_dir tables carry no binary
@@ -1677,6 +1751,9 @@ _EXTRA_QUERIES = {
     "events_user_totals": q_events_user_totals,
     "lsh_topk": q_lsh_topk,
     "lsh_recall": q_lsh_recall,
+    "embed_neardup": q_embed_neardup,
+    "embed_neardup_lsh": q_embed_neardup_lsh,
+    "embed_neardup_recall": q_embed_neardup_recall,
     "media_features": q_media_features,
     "media_ppm_features": q_media_ppm,
 }
@@ -1699,6 +1776,7 @@ _EXTRA_ORACLES = {
     "simhash_pairs": _simhash_pairs_sql(),
     "media_features": _media_features_sql(),
     "media_ppm_features": _media_ppm_sql(),
+    "embed_neardup": EMBED_NEARDUP_SQL,
 }
 
 _BASE_QUERIES = queries

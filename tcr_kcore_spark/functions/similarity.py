@@ -65,6 +65,112 @@ def _signature(vec_col, planes: list[list[float]]):
     return F.array(*bits)
 
 
+def _unit(df: DataFrame, id_out: str, id_col: str, vec_col: str) -> DataFrame:
+    """(id_out, u): vectors L2-normalized ONCE (n norm computations instead
+    of n² inside the pair join — the pair expression reduces to a dot)."""
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return df.select(
+        F.col(id_col).alias(id_out),
+        F.transform(v, lambda x: x / norm).alias("u"),
+    )
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, sim): every unordered pair with cosine ≥ ``threshold`` —
+    EXACT embedding-cosine near-duplicate detection, the fifth dedup
+    modality beside exact-hash / MinHash / SimHash / n-gram Jaccard
+    (tcr_kcore_spark/functions/dedup.py).
+
+    This is the O(n²/2) baseline: a self-join on ``a < b`` over unit
+    vectors with a JVM-side dot product (vectors are normalized once
+    before the join, so the per-pair work is one zip_with/aggregate —
+    no Python anywhere).  Right answer at any scale where n² pair
+    evaluations are affordable (e.g. verifying one LSH bucket); the
+    corpus-scale path is ``lsh_neardup_pairs``, which prunes the pair
+    space to same-band candidates before this same exact filter."""
+    left = _unit(vectors, "a", id_col, vec_col)
+    right = _unit(vectors, "b", id_col, vec_col).select(
+        "b", F.col("u").alias("ub")
+    )
+    pairs = left.join(right, F.col("a") < F.col("b"))
+    dot = F.aggregate(
+        F.zip_with("u", "ub", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        pairs.select("a", "b", dot.alias("s"))
+        .where(F.col("s") >= threshold)
+        .select("a", "b", F.round("s", 4).alias("sim"))
+    )
+
+
+def lsh_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, sim): approximate near-duplicate pairs — random-hyperplane
+    LSH candidate generation followed by the exact cosine filter.
+
+    Scale path for ``cosine_neardup_pairs``: only pairs sharing at least
+    one of ``bands`` sign-bands are scored, turning the O(n²) self-join
+    into per-bucket joins (shuffle on (band, key), skew bounded by bucket
+    size).  Output ⊆ the exact pair set (the final filter is exact); a
+    true pair is missed only if it collides in no band — for cosine s the
+    per-band collision probability is (1 − arccos(s)/π)^(n_planes/bands),
+    so recall rises steeply with s (measured by the ``embed_neardup_
+    recall`` driver gate)."""
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    rows = n_planes // bands
+    u = _unit(vectors, "a", id_col, vec_col)
+    sig = _signature(F.col("u"), planes)
+    keyed = u.withColumn("sig", sig).select(
+        "a",
+        "u",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",", *[F.col("sig")[b * rows + r] for r in range(rows)]
+                        ),
+                        F.lit(b),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    cand = (
+        keyed.join(
+            keyed.select(
+                F.col("a").alias("b"), F.col("u").alias("ub"), "band", "key"
+            ),
+            ["band", "key"],
+        )
+        .where(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    dot = F.aggregate(
+        F.zip_with("u", "ub", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        cand.select("a", "b", dot.alias("s"))
+        .where(F.col("s") >= threshold)
+        .select("a", "b", F.round("s", 4).alias("sim"))
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame | None = None,

@@ -145,6 +145,42 @@ def test_cosine_topk_exact(spark):
     assert by_q[0][0][0] == 1  # the planted near-copy is the top neighbor
 
 
+def test_cosine_neardup_pairs_exact(spark):
+    import numpy as np
+
+    from tcr_kcore_spark.functions.similarity import cosine_neardup_pairs
+
+    df, base = _vectors(spark)
+    tau = 0.5
+    got = {(r["a"], r["b"]): r["sim"] for r in cosine_neardup_pairs(df, tau).collect()}
+    unit = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    want = {
+        (a, b): round(float(sims[a, b]), 4)
+        for a in range(len(base))
+        for b in range(a + 1, len(base))
+        if sims[a, b] >= tau
+    }
+    assert got == want
+    assert (0, 1) in got  # the planted near-copy pair survives the filter
+
+
+def test_lsh_neardup_subset_and_planted(spark):
+    from tcr_kcore_spark.functions.similarity import (
+        cosine_neardup_pairs,
+        lsh_neardup_pairs,
+    )
+
+    df, _ = _vectors(spark)
+    tau = 0.5
+    exact = {(r["a"], r["b"]) for r in cosine_neardup_pairs(df, tau).collect()}
+    approx = {(r["a"], r["b"]) for r in lsh_neardup_pairs(df, tau).collect()}
+    # the final filter is exact, so LSH output must be a subset of exact
+    assert approx <= exact
+    # a cos≈0.9999 planted pair collides in some band w.p. ~1 at any seed
+    assert (0, 1) in approx
+
+
 def test_lsh_topk_recall(spark):
     df, _ = _vectors(spark)
     exact = {(r["q"], r["nbr"]) for r in cosine_topk(df, k=1).collect()}
