@@ -32,6 +32,7 @@ def main() -> None:
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     mode = sys.argv[2] if len(sys.argv) > 2 else "cascade"
     n_blocks = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    scramble = "scramble" in sys.argv[4:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -39,6 +40,25 @@ def main() -> None:
 
     spark = _session(cpus, "bench_peel_scale")
     g, n_edges = _expanded_graph(spark, sf_dir, copies, disjoint=True)
+    if scramble:
+        # permute ids by a fixed multiplier coprime to V: the isomorphic
+        # graph with ids spread uniformly across blocks (in-block edge
+        # fraction ~1/n_blocks) — the unaligned-id layout real edge tables
+        # arrive in, where the prior must open with legacy rounds
+        from pyspark.sql import functions as F
+
+        from tcr_kcore_spark.graph import LinkGraph
+
+        n_ids = 1 + g.edges.agg(F.max(F.greatest("src", "dst"))).first()[0]
+        mult = 1_000_003  # prime > any copy count * 20k, coprime to n_ids
+        while n_ids % mult == 0:
+            mult += 2
+        e = g.edges.select(
+            ((F.col("src") * mult) % n_ids).alias("src"),
+            ((F.col("dst") * mult) % n_ids).alias("dst"),
+        )
+        g = LinkGraph(e, directed=False)
+        n_edges = g.materialize()
     n_verts = g.vertices().count()
     t = time.time()
     kc, st = kcore(
@@ -51,6 +71,8 @@ def main() -> None:
         "cpus": cpus,
         "mode": mode,
         "n_blocks": n_blocks,
+        "scramble": scramble,
+        "local_edge_frac": round(st.local_edge_frac, 4),
         "edges": n_edges,
         "vertices": n_verts,
         "result_rows": n_rows,

@@ -92,9 +92,12 @@ def kcore(
     round-trip of the active blocks' edges — a measured 7.5x regression
     over legacy decrement rounds when blocks straddle components and
     in-block depth is ~1 (BENCH/peel_scale.jsonl, n_blocks=48 row).  The
-    loop measures per-round peel throughput, runs the faster round type,
-    and re-probes the loser with exponential backoff (see _peel).  Set
-    SPARK_GRAFT_CASCADE_PROBE=0 to force pure cascade rounds (A/B).
+    measured in-block edge fraction (one ~free aggregation that doubles
+    as the cache warm-up; ``stats.local_edge_frac``) seeds the starting
+    round type, then the loop measures per-round peel throughput, runs
+    the faster round type, and re-probes the loser with exponential
+    backoff (see _peel).  Set SPARK_GRAFT_CASCADE_PROBE=0 to force pure
+    cascade rounds (A/B).
 
     ``local_finish_vertices/edges`` (peel mode): once the survivor set
     shrinks below both bounds, the residual graph is peeled to completion
@@ -631,6 +634,20 @@ def _peel(
             .repartition(n_parts, "blk")
             .persist()
         )
+        # layout prior: the in-block edge fraction decides the STARTING
+        # round type (the agg also materializes the persisted edge table,
+        # which the first round needed anyway, so the action is ~free).
+        # A cascade round's win is exactly the decrements it can apply
+        # locally — with most edges crossing blocks there is no in-block
+        # depth to collapse, and the measured misaligned-layout cascade
+        # round costs 7.5x a legacy round (BENCH/peel_scale.jsonl).
+        stats.local_edge_frac = (
+            edges.agg(
+                F.avg((blk_of(F.col("dst")) == F.col("blk")).cast("double"))
+            ).first()[0]
+            or 0.0
+        )
+        stats.actions += 1
     else:
         edges = edges.persist()
 
@@ -751,13 +768,19 @@ def _peel(
     # incumbent, and re-probes the other type with exponential backoff
     # (immediately after shrinks, which change both types' costs).
     # SPARK_GRAFT_CASCADE_PROBE=0 forces pure cascade rounds (A/B).
+    # The measured in-block edge fraction seeds the incumbent (round 5.1):
+    # an aligned layout (frac → 1) starts on cascade rounds — round 1 is
+    # where closed blocks finish outright — while a straddling layout
+    # (frac → 0) starts on legacy rounds and NEVER pays the old
+    # full-price round-2 cascade probe blind: when the prior is confident
+    # (frac outside [0.1, 0.9]) the first cross-probe is deferred to the
+    # normal backoff cadence; in the ambiguous band the round-2 probe is
+    # kept so a wrong prior costs at most one mispriced round.
     probing_on = os.environ.get("SPARK_GRAFT_CASCADE_PROBE", "1") != "0"
-    incumbent = "cascade"
+    frac = getattr(stats, "local_edge_frac", -1.0)
+    incumbent = "cascade" if (not local_cascade or frac >= 0.5) else "legacy"
     pps: dict = {"cascade": None, "legacy": None}
-    # first probe right after round 1: round 1 is where an aligned/closed
-    # layout finishes outright, so an early probe costs nothing there and
-    # caps the adversarial case at ONE full-price cascade round
-    probe_countdown, stick = 1, 4
+    probe_countdown, stick = (1, 4) if 0.1 < frac < 0.9 else (4, 4)
     while alive > 0 and stats.supersteps < max_iter:
         # phase-2 handoff: peel the small residual to completion in ONE task
         if 0 < alive <= local_finish_vertices and res_edges <= local_finish_edges:

@@ -203,6 +203,9 @@ class SuperstepStats:
     # adaptive hybrid peel: how many rounds ran the per-block cascade
     # kernel (the rest were legacy decrement rounds chosen by the probe)
     cascade_rounds: int = 0
+    # measured in-block edge fraction of the blocked layout (cascade mode
+    # only; -1.0 = not measured) — the prior that seeds the round type
+    local_edge_frac: float = -1.0
 
     @property
     def supersteps_per_sec(self) -> float:

@@ -114,6 +114,28 @@ def test_adaptive_probe_mixed_rounds(spark):
     assert st.supersteps <= n  # never worse than pure legacy's ~V/2 + slack
 
 
+def test_layout_prior_seeds_round_type(spark):
+    """The measured in-block edge fraction seeds the starting round type
+    deterministically (max_iter=1 isolates round 1 from the
+    timing-dependent probe schedule): an aligned two-copy layout reads
+    frac ≈ 1 and opens with a cascade round; the same graph with ids
+    scrambled across 4 blocks reads frac ≈ 0.25 and opens legacy — the
+    misaligned layout never pays the old blind round-1 cascade."""
+    e1 = oracles.er_graph(n=250, avg_deg=8)
+    e2 = [(a + 250, b + 250) for a, b in oracles.er_graph(n=250, avg_deg=8, seed=9)]
+    edges = e1 + e2
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    _, st = kcore(g, mode="peel", local_finish_vertices=0, n_blocks=2, max_iter=1)
+    assert st.local_edge_frac >= 0.9, st.local_edge_frac
+    assert st.cascade_rounds == 1, (st.cascade_rounds, st.supersteps)
+
+    scrambled = [((a * 7919) % 500, (b * 7919) % 500) for a, b in edges]
+    g2 = LinkGraph.from_edges(edges_df(spark, scrambled), directed=False)
+    _, st2 = kcore(g2, mode="peel", local_finish_vertices=0, n_blocks=4, max_iter=1)
+    assert st2.local_edge_frac < 0.5, st2.local_edge_frac
+    assert st2.cascade_rounds == 0, (st2.cascade_rounds, st2.supersteps)
+
+
 def test_cascade_checkpoint_resume(spark, tmp_path):
     """Hybrid-cascade peel interrupted mid-run resumes from the survivor
     degrees + coreness-so-far and matches the oracle."""
