@@ -151,23 +151,24 @@ def lsh_neardup_pairs(
             )
         ).alias("band", "key"),
     )
-    cand = (
-        keyed.join(
-            keyed.select(
-                F.col("a").alias("b"), F.col("u").alias("ub"), "band", "key"
-            ),
-            ["band", "key"],
-        )
-        .where(F.col("a") < F.col("b"))
-        .dropDuplicates(["a", "b"])
-    )
+    cand = keyed.join(
+        keyed.select(F.col("a").alias("b"), F.col("u").alias("ub"), "band", "key"),
+        ["band", "key"],
+    ).where(F.col("a") < F.col("b"))
     dot = F.aggregate(
         F.zip_with("u", "ub", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
+    # score THEN dedup: a pair colliding in j bands is scored j ≤ bands
+    # times (cheap vectorized JVM dots, identical bits each time), so the
+    # band-dedup becomes a HashAggregate over (a, b, s) scalars on the
+    # pairs that PASS the filter — instead of a dropDuplicates that drags
+    # both 64-dim vectors through a SortAggregate exchange per candidate
+    # (arrays in the aggregation buffer force the sort-based fallback).
     return (
         cand.select("a", "b", dot.alias("s"))
         .where(F.col("s") >= threshold)
-        .select("a", "b", F.round("s", 4).alias("sim"))
+        .groupBy("a", "b")
+        .agg(F.round(F.max("s"), 4).alias("sim"))
     )
 
 
