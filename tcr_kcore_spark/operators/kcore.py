@@ -156,6 +156,19 @@ def kcore(
 # decided once per run from the degree table.
 _HUB_WINDOW_MAX_DEG = 65_536
 
+# h-index delta-pruning engages only below this changed-vertex fraction
+# (1.1 = always prune — the pre-round-5 behavior, kept togglable for A/B).
+# 0.5 separates the dense opening phase (sf0.1: rounds 0-6 run at 50-98%
+# changed, where targets ≈ every vertex and the pruning scan+distinct+
+# broadcast is pure overhead) from the wavy tail (the changed count
+# BOUNCES — 28% → 39% → 7% → 11% → 26% measured — so an aggressive
+# threshold would intermittently un-prune cheap late rounds).  The win is
+# bounded (~one edge scan + distinct per skipped round); a loaded-window
+# interleaved A/B at sf0.1 could not separate it from ±5x host noise
+# (ctl min 18.8s vs skip min 20.7s, spreads 2x) — kept because skipping
+# is strictly less work when the recompute set is ~everything.
+_PRUNE_MAX_CHANGED_FRAC = 0.5
+
 
 def _hindex_round(
     edges: DataFrame,
@@ -255,14 +268,28 @@ def _hindex(
         "id", F.col("degree").cast("long").alias("est"), F.lit(True).alias("changed")
     )
 
+    # Delta-pruning pays only once the changed set is small: the targets
+    # computation costs an extra edge scan + distinct + broadcast per
+    # round, and in early rounds (most estimates still dropping) the
+    # pruned recompute set is ~everything anyway.  The convergence
+    # check's count (free — it ran as limit(1) before) feeds the skip:
+    # prune only when < _PRUNE_MAX_CHANGED_FRAC of vertices changed last
+    # round (threshold rationale + measured changed-fraction trajectory
+    # at the constant's definition above).
+    last_changed = {"n": None}
+
     def step(state: DataFrame, i: int) -> DataFrame:
-        changed = state.where("changed").select("id") if i > 0 else None
+        n = last_changed["n"]
+        prune = i > 0 and n is not None and n < _PRUNE_MAX_CHANGED_FRAC * n_verts
+        changed = state.where("changed").select("id") if prune else None
         return _hindex_round(
             edges, state.select("id", "est"), changed, bcast, hub_safe
         )
 
     def converged(prev: DataFrame, new: DataFrame, i: int) -> bool:
-        return new.where("changed").limit(1).count() == 0
+        n = new.where("changed").count()
+        last_changed["n"] = n
+        return n == 0
 
     state, stats = run_supersteps(
         init,
@@ -828,6 +855,15 @@ def _peel(
             # a full local cascade at k (closed blocks finish outright);
             # only V-row state and boundary decrements cross the shuffle
             active = [b for b, mn in blk_min.items() if mn is not None and mn <= k]
+            if probing and len(active) > 8:
+                # SAMPLED probe: measure the cascade rate on ~1/8 of the
+                # active blocks — peeling only a subset of blocks at the
+                # current k is confluence-safe (the unpeeled blocks keep
+                # their deg ≤ k vertices, so k cannot advance past them),
+                # and the probe pays ~1/8 of the Arrow round-trip instead
+                # of the full-graph price (measured 73s of tax over 5
+                # full probes on the 38M-entry scrambled bench).
+                active = sorted(active)[: max(1, len(active) // 8)]
             kern = _block_bz_kernel(int(k), span)
             deg_b = deg.withColumn("blk", blk_of(F.col("id")))
             if len(active) < len(blk_min):

@@ -136,6 +136,21 @@ def test_layout_prior_seeds_round_type(spark):
     assert st2.cascade_rounds == 0, (st2.cascade_rounds, st2.supersteps)
 
 
+def test_sampled_cascade_probe_correct(spark):
+    """With many blocks and a scrambled (low-frac) layout, cascade probe
+    rounds run on a ~1/8 SAMPLE of the active blocks — peeling a block
+    subset at the current k is confluent, so exactness must hold through
+    the mixed sampled-cascade/legacy round sequence."""
+    edges = oracles.er_graph(n=400, avg_deg=8, seed=11)
+    scrambled = [((a * 7) % 400, (b * 7) % 400) for a, b in edges]
+    g = LinkGraph.from_edges(edges_df(spark, scrambled), directed=False)
+    result, st = kcore(g, mode="peel", local_finish_vertices=0, n_blocks=16)
+    got = {r["id"]: r["coreness"] for r in result.collect()}
+    assert got == oracles.coreness(scrambled)
+    if st.supersteps >= 5:  # first cascade probe fires at round 5
+        assert st.cascade_rounds >= 1
+
+
 def test_cascade_checkpoint_resume(spark, tmp_path):
     """Hybrid-cascade peel interrupted mid-run resumes from the survivor
     degrees + coreness-so-far and matches the oracle."""
