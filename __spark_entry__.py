@@ -1712,6 +1712,8 @@ _SF01_QUERIES = {
     "bfs_sf01": _pin_sf01(q_bfs),
     "lpa_r2_sf01": _pin_sf01(q_lpa),
     "louvain_full_sf01": _pin_sf01(q_louvain_full),
+    "sssp_w7_sf01": _pin_sf01(q_sssp),
+    "hits_i4_sf01": _pin_sf01(q_hits),
 }
 
 _SF01_ORACLES = {
@@ -1727,6 +1729,11 @@ _SF01_ORACLES = {
     "louvain_full_sf01": _louvain_full_sql(
         4, 2, 1e-9, edges_cte=_sf01_sql(EDGES_CTE)
     ),
+    # Bellman-Ford round-i values are exact min-over-<=i-hop-paths on both
+    # sides, so parity holds at any SF even short of the fixpoint; HITS is
+    # fixed-iteration on both sides
+    "sssp_w7_sf01": _sf01_sql(_sssp_sql(SSSP_ROUNDS)),
+    "hits_i4_sf01": _sf01_sql(_hits_sql(HITS_ITERS)),
 }
 
 
