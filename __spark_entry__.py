@@ -546,6 +546,23 @@ def q_kcore_peel_dist(spark, sf_dir):
     return r
 
 
+def q_kcore_peel_relabel(spark, sf_dir):
+    """Locality relabel (plans/layout.py: component-ordered dense renumber)
+    then the distributed cascade peel on the RELABELED graph, coreness
+    mapped back to original ids — hash-checks that the reorder roundtrip
+    is exact (coreness is isomorphism-invariant) against the same oracle
+    as every other k-core entry, with the blocked path forced
+    (finisher off) so the cascade runs on the relabeled layout."""
+    from tcr_kcore_spark.plans.layout import locality_relabel
+
+    g2, mapping, _ = locality_relabel(_graph(spark, sf_dir))
+    r, _ = kcore(g2, mode="peel", local_finish_vertices=0)
+    return (
+        r.join(mapping.withColumnRenamed("id", "nid"), r.id == F.col("nid"))
+        .select(F.col("orig").alias("id"), "coreness")
+    )
+
+
 def q_bfs(spark, sf_dir):
     g = _graph(spark, sf_dir)
     source = g.edges.agg(F.min("src")).first()[0]
@@ -806,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_exact": q_kcore_exact,
         "kcore_peel": q_kcore_peel,
         "kcore_peel_dist": q_kcore_peel_dist,
+        "kcore_peel_relabel": q_kcore_peel_relabel,
         "bfs_from_min": q_bfs,
         "sssp_w7": q_sssp,
         "hits_i4": q_hits,
@@ -832,6 +850,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_exact": _hindex_sql(KCORE_ROUNDS),
         "kcore_peel": _hindex_sql(KCORE_ROUNDS),
         "kcore_peel_dist": _hindex_sql(KCORE_ROUNDS),
+        "kcore_peel_relabel": _hindex_sql(KCORE_ROUNDS),
         "bfs_from_min": BFS_SQL,
         "sssp_w7": _sssp_sql(SSSP_ROUNDS),
         "hits_i4": _hits_sql(HITS_ITERS),

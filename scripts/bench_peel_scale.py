@@ -60,6 +60,18 @@ def main() -> None:
         g = LinkGraph(e, directed=False)
         n_edges = g.materialize()
     n_verts = g.vertices().count()
+    relabel_secs = None
+    if "relabel" in sys.argv[4:]:
+        # structure-aware renumber (plans/layout.py) before the peel: the
+        # one-time layout fix that turns the scrambled case back into the
+        # aligned case; timed separately so the amortization trade is explicit
+        from tcr_kcore_spark.plans.layout import locality_relabel
+
+        tr = time.time()
+        g, _, _ = locality_relabel(g)
+        g = g.cache()
+        g.materialize()
+        relabel_secs = round(time.time() - tr, 1)
     t = time.time()
     kc, st = kcore(
         g, mode="peel", local_cascade=(mode == "cascade"), n_blocks=n_blocks
@@ -72,6 +84,7 @@ def main() -> None:
         "mode": mode,
         "n_blocks": n_blocks,
         "scramble": scramble,
+        "relabel_secs": relabel_secs,
         "local_edge_frac": round(st.local_edge_frac, 4),
         "edges": n_edges,
         "vertices": n_verts,

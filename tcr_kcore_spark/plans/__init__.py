@@ -1,5 +1,6 @@
 """Partitioning / skew-control plans (SURVEY.md §2.C)."""
 
+from tcr_kcore_spark.plans.layout import locality_relabel
 from tcr_kcore_spark.plans.partitioning import (
     broadcast_max_rows,
     degree_range_bounds,
@@ -12,6 +13,7 @@ from tcr_kcore_spark.plans.partitioning import (
 __all__ = [
     "broadcast_max_rows",
     "degree_range_bounds",
+    "locality_relabel",
     "plan_superstep_edges",
     "repartition_by_degree_mass",
     "salted_count",

@@ -1,0 +1,85 @@
+"""locality_relabel: structure-aware renumbering (plans/layout.py)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from tcr_kcore_spark.graph import LinkGraph
+from tcr_kcore_spark.operators.kcore import kcore
+from tcr_kcore_spark.plans.layout import locality_relabel
+from tests.conftest import edges_df
+
+
+def _two_cliques(spark, n=40):
+    """Two disjoint 20-cliques with INTERLEAVED ids (even/odd) — the
+    scrambled layout where every contiguous block straddles components."""
+    edges = [(a, b) for a in range(0, n, 2) for b in range(0, n, 2) if a < b]
+    edges += [(a, b) for a in range(1, n + 1, 2) for b in range(1, n + 1, 2) if a < b]
+    return LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+
+
+def test_dense_bijection_and_component_contiguity(spark):
+    g = _two_cliques(spark)
+    _, mapping, stats = locality_relabel(g)
+    m = {r["orig"]: r["id"] for r in mapping.collect()}
+    assert sorted(m.values()) == list(range(40))
+    # even component (min id 0 < 1) occupies new ids 0..19, contiguous
+    assert sorted(m[v] for v in range(0, 40, 2)) == list(range(20))
+    assert stats.supersteps > 0  # the components labeling run
+
+
+def test_inblock_fraction_restored(spark):
+    g = _two_cliques(spark)
+    _, s_before = kcore(g, mode="peel", n_blocks=2, local_finish_vertices=0,
+                        local_finish_edges=0)
+    g2, _, _ = locality_relabel(g)
+    _, s_after = kcore(g2, mode="peel", n_blocks=2, local_finish_vertices=0,
+                       local_finish_edges=0)
+    assert s_before.local_edge_frac < 0.6
+    assert s_after.local_edge_frac == 1.0
+
+
+def test_coreness_invariant_through_relabel(spark):
+    rng = random.Random(7)
+    edges = list({(a, b) for a, b in (sorted(rng.sample(range(60), 2))
+                                      for _ in range(260))})
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    ref, _ = kcore(g, mode="peel", local_cascade=False)
+    g2, mapping, _ = locality_relabel(g)
+    kc, _ = kcore(g2, mode="peel", n_blocks=4, local_finish_vertices=0,
+                  local_finish_edges=0)
+    back = (
+        kc.join(mapping.withColumnRenamed("id", "nid"), kc.id == F.col("nid"))
+        .select(F.col("orig").alias("id"), "coreness")
+    )
+    assert sorted(map(tuple, ref.collect())) == sorted(map(tuple, back.collect()))
+
+
+def test_caller_labels_string_key(spark):
+    # corpus-style clustering key: order by repo name, ties by id
+    edges = [(0, 3), (1, 4), (2, 5), (0, 4)]
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    labels = spark.createDataFrame(
+        [(0, "zeta"), (3, "zeta"), (4, "zeta"), (1, "alpha"), (2, "alpha"),
+         (5, "alpha")],
+        "id long, repo string",
+    )
+    _, mapping, stats = locality_relabel(g, labels=labels)
+    m = {r["orig"]: r["id"] for r in mapping.collect()}
+    assert stats.supersteps == 0  # no labeling run when labels are given
+    assert sorted(m.values()) == list(range(6))
+    # alpha cluster (1,2,5) first in id order, then zeta (0,3,4)
+    assert [m[1], m[2], m[5]] == [0, 1, 2]
+    assert [m[0], m[3], m[4]] == [3, 4, 5]
+
+
+def test_edge_attrs_survive(spark):
+    edges, weights = [(0, 1), (1, 2)], [2.0, 5.0]
+    g = LinkGraph.from_edges(edges_df(spark, edges, weights), directed=False)
+    g2, mapping, _ = locality_relabel(g)
+    assert set(g2.edges.columns) == {"src", "dst", "weight"}
+    assert g2.edges.agg(F.sum("weight")).first()[0] == g.edges.agg(
+        F.sum("weight")
+    ).first()[0]
