@@ -164,9 +164,9 @@ def test_sf01_suite_registered():
     qs, orc = entrymod.queries(), entrymod.oracle_sql()
     sf01 = sorted(k for k in qs if k.endswith("_sf01"))
     assert sf01 == [
-        "bfs_sf01", "components_sf01", "degrees_sf01", "kcore_peel_sf01",
-        "louvain_full_sf01", "lpa_r2_sf01", "pagerank_i8_sf01",
-        "triangles_sf01",
+        "bfs_sf01", "components_sf01", "degrees_sf01", "hits_i4_sf01",
+        "kcore_peel_sf01", "louvain_full_sf01", "lpa_r2_sf01",
+        "pagerank_i8_sf01", "sssp_w7_sf01", "triangles_sf01",
     ]
     for k in sf01:
         assert k in orc, k
