@@ -1291,6 +1291,44 @@ def q_lsh_recall(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) ANN top-k — the coarse-quantizer scale path
+    beside the hyperplane LSH one (similarity.py: spherical k-means
+    inverted lists, plan-time literal centroids, nprobe lists scored per
+    query).  Rows-only: the index is trained by an iterative distributed
+    k-means no single SQL statement expresses; quality is pinned by the
+    ``ivf_recall`` gate (bar 0.8, measured 0.833/0.933 at sf0.01/sf0.1 —
+    the synthetic embeddings are near-orthogonal random vectors with no
+    cluster structure, the quantizer's worst case, so the candidate
+    fraction is an honest nprobe/n_clusters = 0.5 here; clustered real
+    corpora prune harder at the same recall)."""
+    from tcr_kcore_spark.functions.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where("vec_id < 5")
+    r = ivf_topk(emb, qs, k=3, n_clusters=16, nprobe=8, lloyd_iters=2)
+    return r.select("q", "nbr", F.round("sim", 4).alias("sim"))
+
+
+def q_ivf_recall(spark, sf_dir):
+    """Measured recall@3 of the IVF ANN path vs exact cosine top-k
+    (20 query vectors); bar 0.8.  One row; deterministic (hash-seeded
+    k-means init, first-max tie-breaks)."""
+    from tcr_kcore_spark.functions.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where("vec_id < 20")
+    exact = cosine_topk(emb, qs, k=3).select("q", "nbr").persist()
+    approx = ivf_topk(emb, qs, k=3, n_clusters=16, nprobe=8, lloyd_iters=2)
+    total = exact.count()
+    hits = exact.join(approx.select("q", "nbr"), ["q", "nbr"], "left_semi").count()
+    exact.unpersist()
+    return spark.createDataFrame(
+        [(total, 3, round(hits / total, 6) if total else 0.0)],
+        "n_pairs long, k long, recall double",
+    )
+
+
 NEARDUP_TAU = 0.4  # the sf0.01/sf0.1 embeddings are near-orthogonal
 # (max pair cosine 0.51/0.60), so 0.4 is the regime with a non-trivial
 # exact pair set (59 / 920 pairs); the closest pair cosine to the
@@ -1776,6 +1814,8 @@ _EXTRA_QUERIES = {
     "events_stream": q_events_stream,
     "events_user_totals": q_events_user_totals,
     "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
+    "ivf_recall": q_ivf_recall,
     "lsh_recall": q_lsh_recall,
     "embed_neardup": q_embed_neardup,
     "embed_neardup_lsh": q_embed_neardup_lsh,

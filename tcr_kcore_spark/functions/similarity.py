@@ -7,6 +7,9 @@
   hyperplane signs bucket the corpus; a query only scores candidates
   sharing ≥1 band, turning the cross join into a bucket join.  Recall is
   tunable via (n_planes, bands); exactness is NOT guaranteed (ANN).
+- IVF top-k (inverted-file coarse quantizer): the other classic ANN scale
+  path — spherical k-means partitions the corpus into inverted lists; a
+  query scores only its nprobe nearest lists.  Recall tunable via nprobe.
 
 Hyperplanes are generated deterministically from a seed with NumPy at plan
 time (driver-side, tiny) and embedded as literal arrays — workers do pure
@@ -170,6 +173,124 @@ def lsh_neardup_pairs(
         .groupBy("a", "b")
         .agg(F.round(F.max("s"), 4).alias("sim"))
     )
+
+
+def _argmax_centroid(u_col, cents: list[list[float]]):
+    """0-based index of the centroid with the max dot product (first on
+    ties — deterministic).  Centroids are plan-time literals: workers do
+    K vectorized dots, no Python."""
+    dots = [
+        F.aggregate(
+            F.zip_with(u_col, F.array(*[F.lit(float(x)) for x in c]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        for c in cents
+    ]
+    arr = F.array(*dots)
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def _ivf_centroids(u: DataFrame, n_clusters: int, iters: int, seed: int) -> list[list[float]]:
+    """Spherical k-means centroids, trained distributed, held driver-side
+    (K·dim floats — always tiny).  Init is a deterministic uniform sample:
+    the ``n_clusters`` vectors with the smallest ``xxhash64(id, seed)``.
+    Each Lloyd round is one assignment scan (literal-centroid dots) plus
+    one map-side-combinable (cluster, dim) sum — the standard distributed
+    k-means update; only K·dim aggregated rows reach the driver."""
+    init = (
+        u.select("u", F.xxhash64(F.col("_ivf_id").cast("string"), F.lit(seed)).alias("h"))
+        .orderBy("h", "_ivf_id")
+        .limit(n_clusters)
+        .collect()
+    )
+    cents = [list(r["u"]) for r in init]
+    for _ in range(iters):
+        got = (
+            u.withColumn("c", _argmax_centroid(F.col("u"), cents))
+            .select("c", F.posexplode("u").alias("pos", "val"))
+            .groupBy("c", "pos")
+            .agg(F.sum("val").alias("s"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in got:
+            by_c.setdefault(r["c"], {})[r["pos"]] = r["s"]
+        new = []
+        for i, old in enumerate(cents):
+            dims = by_c.get(i)
+            if not dims:  # empty cluster keeps its centroid
+                new.append(old)
+                continue
+            v = [dims[p] for p in range(len(old))]
+            n = sum(x * x for x in v) ** 0.5 or 1.0
+            new.append([x / n for x in v])  # re-normalize (spherical)
+        cents = new
+    return cents
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    lloyd_iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q, nbr, sim): approximate top-k via an IVF (inverted-file) index —
+    the coarse-quantizer ANN variant beside ``lsh_topk``.
+
+    Index: spherical k-means assigns every corpus vector to its nearest
+    of ``n_clusters`` centroids (one int column — the inverted list key).
+    Query: each query scores only the vectors in its ``nprobe`` closest
+    clusters, turning the cross join into a join on the cluster id, with
+    candidate fraction ≈ nprobe/n_clusters.  Clusters partition the
+    corpus — each corpus vector lives in exactly one inverted list, so a
+    (q, nbr) candidate arises at most once and no per-pair dedup is
+    needed (unlike LSH bands).  Centroids are plan-time literal arrays —
+    assignment and probing are pure JVM column math; recall is tunable
+    via nprobe (measured by the ``ivf_recall`` driver gate).  At cluster
+    scale the corpus shuffles once on the cluster id and each Lloyd round
+    is one map-side-combinable aggregation."""
+    u = _unit(vectors, "nbr", id_col, vec_col).withColumn("_ivf_id", F.col("nbr"))
+    cents = _ivf_centroids(u, n_clusters, lloyd_iters, seed)
+    corpus = (
+        u.select("nbr", F.col("u").alias("ne"))
+        .withColumn("cl", _argmax_centroid(F.col("ne"), cents))
+        .persist()
+    )
+    qu = _unit(queries if queries is not None else vectors, "q", id_col, vec_col)
+    qdots = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    "u", F.array(*[F.lit(float(x)) for x in c]), lambda x, y: x * y
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            for c in cents
+        ]
+    )
+    probed = qu.select(
+        "q", F.col("u").alias("qe"), F.posexplode(qdots).alias("cl", "cdot")
+    )
+    wq = Window.partitionBy("q").orderBy(F.desc("cdot"), F.asc("cl"))
+    probed = (
+        probed.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("q", "qe", "cl")
+    )
+    cand = probed.join(corpus, "cl").where(F.col("q") != F.col("nbr"))
+    dot = F.aggregate(
+        F.zip_with("qe", "ne", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    sims = cand.select("q", "nbr", dot.alias("sim"))
+    w = Window.partitionBy("q").orderBy(F.desc("sim"), F.asc("nbr"))
+    return sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
 
 
 def lsh_topk(

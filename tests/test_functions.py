@@ -190,3 +190,49 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.8, recall
     # the planted near-pair must be found
     assert (0, 1) in approx
+
+
+def test_ivf_topk_recall_and_planted(spark):
+    from tcr_kcore_spark.functions.similarity import ivf_topk
+
+    df, _ = _vectors(spark)
+    exact = {(r["q"], r["nbr"]) for r in cosine_topk(df, k=1).collect()}
+    approx = {(r["q"], r["nbr"])
+              for r in ivf_topk(df, k=1, n_clusters=4, nprobe=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+    # the cos≈0.9999 planted pair lands in the same inverted list
+    assert (0, 1) in approx
+
+
+def test_ivf_clustered_data_nprobe1_exact(spark):
+    """Three well-separated planted clusters: the quantizer recovers them
+    and nprobe=1 already gives perfect recall — the structured-corpus
+    win case the random-embedding driver gate cannot show."""
+    import numpy as np
+
+    from tcr_kcore_spark.functions.similarity import ivf_topk
+
+    rng = np.random.default_rng(3)
+    centers = np.eye(3) * 10.0  # orthogonal, far apart
+    rows = []
+    for i in range(45):
+        v = centers[i % 3] + 0.1 * rng.standard_normal(3)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {(r["q"], r["nbr"]) for r in cosine_topk(df, k=2).collect()}
+    approx = {(r["q"], r["nbr"])
+              for r in ivf_topk(df, k=2, n_clusters=3, nprobe=1, lloyd_iters=3).collect()}
+    assert approx == exact
+
+
+def test_ivf_deterministic_and_no_dup_candidates(spark):
+    from tcr_kcore_spark.functions.similarity import ivf_topk
+
+    df, _ = _vectors(spark)
+    a = sorted(map(tuple, ivf_topk(df, k=3, n_clusters=4, nprobe=2).collect()))
+    b = sorted(map(tuple, ivf_topk(df, k=3, n_clusters=4, nprobe=2).collect()))
+    assert a == b  # hash-seeded init + first-max ties → stable plan
+    # inverted lists partition the corpus: no (q, nbr) appears twice
+    pairs = [(q, n) for q, n, _ in a]
+    assert len(pairs) == len(set(pairs))
