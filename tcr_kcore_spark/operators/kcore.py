@@ -69,6 +69,7 @@ def kcore(
     local_finish_edges: int = 8_000_000,
     local_cascade: bool = True,
     n_blocks: int | None = None,
+    block_span: int | None = None,
 ) -> tuple[DataFrame, SuperstepStats]:
     """Returns ((id, coreness), stats) on the symmetrized graph.
 
@@ -139,6 +140,7 @@ def kcore(
             local_finish_edges,
             local_cascade,
             n_blocks,
+            block_span,
         )
     raise ValueError(f"unknown mode {mode!r}")
 
@@ -613,6 +615,7 @@ def _peel(
     local_finish_edges: int = 8_000_000,
     local_cascade: bool = True,
     n_blocks: int | None = None,
+    block_span: int | None = None,
 ) -> tuple[DataFrame, SuperstepStats]:
     """Exact peel with optional mid-run checkpoint/resume — the analog of
     the reference's phase-1 deleted-bitmap checkpoint that phase 2 loads
@@ -651,7 +654,12 @@ def _peel(
         n_parts = int(n_blocks or spark.conf.get("spark.sql.shuffle.partitions", "32"))
         max_id = deg.agg(F.max("id")).first()[0] or 0
         stats.actions += 1
-        span = max(1, (int(max_id) + n_parts) // n_parts)  # ceil((max_id+1)/P)
+        # block_span: explicit block width override — pair it with a
+        # locality_relabel(align_span=block_span) layout so every block
+        # holds only whole clusters regardless of how cluster sizes divide V
+        span = int(block_span) if block_span else max(
+            1, (int(max_id) + n_parts) // n_parts
+        )  # default: ceil((max_id+1)/P)
 
         def blk_of(c):
             return F.floor(c / F.lit(span)).cast("long")

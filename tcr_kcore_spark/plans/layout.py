@@ -40,6 +40,7 @@ def locality_relabel(
     labels: DataFrame | None = None,
     method: str = "components",
     n_parts: int | None = None,
+    align_span: int | None = None,
 ) -> tuple[LinkGraph, DataFrame, SuperstepStats]:
     """Renumber vertices so structurally-close ones get contiguous ids.
 
@@ -51,7 +52,18 @@ def locality_relabel(
     may be numeric or string (e.g. the corpus repo name).  The mapping is
     materialized (lineage-truncated); release with
     ``superstep.release_state(mapping)`` when done.
-    """
+
+    ``align_span``: also BIN-PACK clusters into ``align_span``-sized id
+    bins (first-fit in cluster order, clusters padded past a boundary they
+    would straddle; clusters larger than the span start ON a boundary).
+    Ids are then sparse (gaps at bin remainders, ≤ 2x inflation worst
+    case, far less in practice) but NO cluster smaller than the span
+    crosses a ``span``-aligned block edge — pass the same value as
+    ``block_span=`` to the blocked k-core peel and every block sees only
+    whole clusters, independent of how cluster sizes divide V.  Without
+    it a contiguous-but-unaligned layout still splits clusters at block
+    boundaries (measured: in-block fraction stuck at 0.5 and the cascade
+    loses; BENCH/peel_scale.jsonl n_blocks=32 relabel row)."""
     spark = graph.edges.sparkSession
     stats = SuperstepStats()
     if labels is None:
@@ -101,13 +113,19 @@ def locality_relabel(
         offsets.append((int(r["pid"]), acc))
         acc += r["n"]
     off_df = spark.createDataFrame(offsets, "pid int, off long")
-    mapping = (
-        counted.withColumn("pid", F.spark_partition_id())
-        .join(F.broadcast(off_df), "pid")
-        .select(F.col("id").alias("orig"), (F.col("pos") + F.col("off")).alias("id"))
-    )
-    mapping = truncate_lineage(mapping)
-    counted.unpersist()
+    if align_span is None:
+        mapping = (
+            counted.withColumn("pid", F.spark_partition_id())
+            .join(F.broadcast(off_df), "pid")
+            .select(
+                F.col("id").alias("orig"), (F.col("pos") + F.col("off")).alias("id")
+            )
+        )
+        mapping = truncate_lineage(mapping)
+        counted.unpersist()
+    else:
+        mapping = _aligned_mapping(counted, off_df, int(align_span), nparts, stats)
+        counted.unpersist()
 
     attrs = [c for c in graph.edges.columns if c not in EDGE_COLS]
     e = (
@@ -122,3 +140,78 @@ def locality_relabel(
         .select(F.col("_ns").alias("src"), F.col("_nd").alias("dst"), *attrs)
     )
     return LinkGraph(e, directed=graph.directed), mapping, stats
+
+
+def _aligned_mapping(
+    counted: DataFrame, off_df: DataFrame, span: int, nparts: int, stats: SuperstepStats
+) -> DataFrame:
+    """Bin-packed sparse ids: per-cluster (p0, n) in dense-order, clusters
+    first-fit packed into ``span``-sized bins, new_id = cluster_start +
+    (dense_pos - p0).  All cluster walks are per-partition with driver
+    prefix offsets (same distributed zipWithIndex shape as the dense
+    path); every partition's padded extent is rounded up to a span
+    multiple, so local ``% span`` alignment decisions stay valid under
+    the absolute base."""
+    spark = counted.sparkSession
+    dense = (
+        counted.withColumn("pid", F.spark_partition_id())
+        .join(F.broadcast(off_df), "pid")
+        .select("id", "lbl", (F.col("pos") + F.col("off")).alias("gpos"))
+    )
+    dense = truncate_lineage(dense)
+    clusters = dense.groupBy("lbl").agg(
+        F.min("gpos").alias("p0"), F.count(F.lit(1)).alias("n")
+    )
+    lbl_type = counted.schema["lbl"].dataType.simpleString()
+    walked_schema = f"lbl {lbl_type}, p0 long, n long, cstart long, fill long"
+
+    def _pack(pit):
+        # first-fit walk in cluster order; `fill` carries the partition's
+        # running padded extent so the driver can round it to a span
+        # multiple (running state must persist ACROSS Arrow batches)
+        off = 0
+        for pdf in pit:
+            starts = []
+            fills = []
+            for n in pdf["n"]:
+                n = int(n)
+                if off % span and (off % span) + n > span:
+                    off += span - (off % span)  # bump to the next bin
+                starts.append(off)
+                off += n
+                fills.append(off)
+            pdf = pdf[["lbl", "p0", "n"]]
+            pdf["cstart"] = starts
+            pdf["fill"] = fills
+            yield pdf
+
+    packed = (
+        clusters.repartitionByRange(nparts, "p0")
+        .sortWithinPartitions("p0")
+        .mapInPandas(_pack, walked_schema)
+        .persist()
+    )
+    csizes = (
+        packed.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.min("p0").alias("lo"), F.max("fill").alias("extent"))
+        .collect()
+    )
+    stats.actions += 1
+    acc = 0
+    bases = []
+    for r in sorted(csizes, key=lambda r: r["lo"]):
+        bases.append((int(r["pid"]), acc))
+        acc += -(-int(r["extent"]) // span) * span  # ceil to a span multiple
+    base_df = spark.createDataFrame(bases, "pid int, base long")
+    cstarts = (
+        packed.withColumn("pid", F.spark_partition_id())
+        .join(F.broadcast(base_df), "pid")
+        .select("lbl", "p0", (F.col("cstart") + F.col("base")).alias("abs_start"))
+    )
+    mapping = dense.join(cstarts, "lbl").select(
+        F.col("id").alias("orig"),
+        (F.col("abs_start") + F.col("gpos") - F.col("p0")).alias("id"),
+    )
+    mapping = truncate_lineage(mapping)
+    packed.unpersist()
+    return mapping

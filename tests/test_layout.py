@@ -83,3 +83,41 @@ def test_edge_attrs_survive(spark):
     assert g2.edges.agg(F.sum("weight")).first()[0] == g.edges.agg(
         F.sum("weight")
     ).first()[0]
+
+
+def test_align_span_bin_packing(spark):
+    """Heterogeneous cluster sizes + align_span: ids stay unique, every
+    cluster no larger than the span lands inside ONE span-aligned bin, and
+    the blocked peel with block_span=align_span is exact on the padded
+    (sparse) id space."""
+    rng = random.Random(11)
+    sizes = [5, 7, 6, 4, 9, 3, 8, 6, 5, 7]
+    ids = list(range(sum(sizes)))
+    rng.shuffle(ids)
+    edges, members, off = [], [], 0
+    for s in sizes:
+        mem = ids[off : off + s]
+        off += s
+        members.append(mem)
+        edges += [(a, b) for i, a in enumerate(mem) for b in mem[i + 1:]]
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    span = 8
+    g2, mapping, _ = locality_relabel(g, align_span=span)
+    m = {r["orig"]: r["id"] for r in mapping.collect()}
+    vals = sorted(m.values())
+    assert len(vals) == len(set(vals)) == sum(sizes)
+    assert vals[-1] < 2 * sum(sizes)  # bounded inflation
+    for s, mem in zip(sizes, members):
+        bins = {m[v] // span for v in mem}
+        assert s > span or len(bins) == 1, (s, bins)
+
+    ref, _ = kcore(g, mode="peel", local_cascade=False)
+    kc, st = kcore(g2, mode="peel", block_span=span, local_finish_vertices=0,
+                   local_finish_edges=0)
+    back = (
+        kc.join(mapping.withColumnRenamed("id", "nid"), kc.id == F.col("nid"))
+        .select(F.col("orig").alias("id"), "coreness")
+    )
+    assert sorted(map(tuple, ref.collect())) == sorted(map(tuple, back.collect()))
+    # only the one size-9 cluster can straddle its bin boundary
+    assert st.local_edge_frac > 0.9
