@@ -18,6 +18,13 @@ single-node engines apply before CSR builds; the reference's densification
 sorts by raw vertex id only (``TCR/src/type/CSRGraph.py:432-441``), because
 its GPU kernels are layout-insensitive — a Spark blocked kernel is not.
 
+The corpus ingest needs NO relabel: ``sources/ingest.py`` assigns dense
+ids ordered by (repo, path), so repo-clustered dependency graphs arrive
+already locality-laid-out (measured in-block fraction 0.81 at 8 blocks on
+the synth corpus vs ~0.125 scrambled; test_layout.py).  locality_relabel
+is for edge tables that arrive WITHOUT that provenance — pre-built edge
+lists, external id spaces, unions of sources.
+
 Scale notes (100 TB): the renumber is the distributed zipWithIndex pattern
 (range partition on the key, per-partition running offsets, driver collect
 of O(#partitions) counts — never a global single-partition window); the

@@ -121,3 +121,19 @@ def test_align_span_bin_packing(spark):
     assert sorted(map(tuple, ref.collect())) == sorted(map(tuple, back.collect()))
     # only the one size-9 cluster can straddle its bin boundary
     assert st.local_edge_frac > 0.9
+
+
+def test_corpus_ingest_is_natively_local(spark):
+    """The corpus ingest assigns dense ids ordered by (repo, path)
+    (sources/ingest.py), so repo-clustered dependency graphs arrive
+    ALREADY locality-laid-out for blocked kernels — no relabel needed.
+    Measured here: in-block edge fraction ~0.81 at 8 blocks over the
+    small synth corpus (scrambled expectation would be ~1/8)."""
+    from tcr_kcore_spark.sources.corpus import synth_corpus
+    from tcr_kcore_spark.sources.ingest import corpus_to_edges
+
+    edges, _ = corpus_to_edges(synth_corpus(spark, "small"))
+    g = LinkGraph.from_edges(edges, directed=False)
+    _, st = kcore(g, mode="peel", n_blocks=8, local_finish_vertices=0,
+                  local_finish_edges=0, max_iter=1)
+    assert st.local_edge_frac >= 0.5, st.local_edge_frac
