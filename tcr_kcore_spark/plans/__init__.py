@@ -1,6 +1,6 @@
 """Partitioning / skew-control plans (SURVEY.md §2.C)."""
 
-from tcr_kcore_spark.plans.layout import locality_relabel
+from tcr_kcore_spark.plans.layout import locality_relabel, suggest_align_span
 from tcr_kcore_spark.plans.partitioning import (
     broadcast_max_rows,
     degree_range_bounds,
@@ -14,6 +14,7 @@ __all__ = [
     "broadcast_max_rows",
     "degree_range_bounds",
     "locality_relabel",
+    "suggest_align_span",
     "plan_superstep_edges",
     "repartition_by_degree_mass",
     "salted_count",

@@ -222,3 +222,38 @@ def _aligned_mapping(
     mapping = truncate_lineage(mapping)
     packed.unpersist()
     return mapping
+
+
+def suggest_align_span(
+    labels: DataFrame, n_blocks_target: int = 32
+) -> dict[str, int]:
+    """Cluster-size statistics + a block span recommendation for
+    ``locality_relabel(align_span=...)`` / ``kcore(block_span=...)``.
+
+    One map-side-combinable aggregation over the (id, label) table; the
+    driver sees only 4 scalars.  ``span`` = max(p99 cluster size,
+    ceil(V / n_blocks_target)): big enough that ≤1% of clusters straddle
+    a block, small enough to keep ~``n_blocks_target``-way parallelism —
+    clusters above the p99 (e.g. a giant component) straddle regardless
+    and the peel's adaptive controller handles them as open blocks."""
+    key = [c for c in labels.columns if c != "id"][0]
+    row = (
+        labels.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum("n").alias("v"),
+            F.max("n").alias("mx"),
+            F.expr("percentile_approx(n, 0.5)").alias("p50"),
+            F.expr("percentile_approx(n, 0.99)").alias("p99"),
+        )
+        .first()
+    )
+    v = int(row["v"] or 0)
+    span = max(int(row["p99"] or 1), -(-v // max(1, n_blocks_target)))
+    return {
+        "vertices": v,
+        "max_cluster": int(row["mx"] or 0),
+        "p50_cluster": int(row["p50"] or 0),
+        "p99_cluster": int(row["p99"] or 0),
+        "span": span,
+    }

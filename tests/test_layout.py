@@ -137,3 +137,17 @@ def test_corpus_ingest_is_natively_local(spark):
     _, st = kcore(g, mode="peel", n_blocks=8, local_finish_vertices=0,
                   local_finish_edges=0, max_iter=1)
     assert st.local_edge_frac >= 0.5, st.local_edge_frac
+
+
+def test_suggest_align_span(spark):
+    from tcr_kcore_spark.plans.layout import suggest_align_span
+
+    labels = spark.createDataFrame(
+        [(i, i // 10) for i in range(100)], "id long, lbl long"
+    )  # 10 clusters of 10
+    s = suggest_align_span(labels, n_blocks_target=5)
+    assert s["vertices"] == 100 and s["max_cluster"] == 10
+    # span = max(p99 size=10, ceil(100/5)=20) = 20
+    assert s["span"] == 20
+    s2 = suggest_align_span(labels, n_blocks_target=50)
+    assert s2["span"] == 10  # p99 dominates when the target is fine-grained
