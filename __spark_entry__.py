@@ -1291,23 +1291,67 @@ def q_lsh_recall(spark, sf_dir):
     )
 
 
+def _ivf_stage_path(tag: str) -> str:
+    import os as _os
+    import tempfile as _tempfile
+
+    return _os.path.join(_tempfile.gettempdir(), f"tcr_kcore_ivf_{tag}.parquet")
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF (inverted-file) ANN top-k — the coarse-quantizer scale path
     beside the hyperplane LSH one (similarity.py: spherical k-means
     inverted lists, plan-time literal centroids, nprobe lists scored per
-    query).  Rows-only: the index is trained by an iterative distributed
-    k-means no single SQL statement expresses; quality is pinned by the
-    ``ivf_recall`` gate (bar 0.8, measured 0.833/0.933 at sf0.01/sf0.1 —
-    the synthetic embeddings are near-orthogonal random vectors with no
-    cluster structure, the quantizer's worst case, so the candidate
-    fraction is an honest nprobe/n_clusters = 0.5 here; clustered real
-    corpora prune harder at the same recall)."""
-    from tcr_kcore_spark.functions.similarity import ivf_topk
+    query) — hash-checked via a STAGED INDEX (the simhash-signatures
+    precedent): the trained corpus assignment (nbr, cl) and the per-query
+    probe set (q, cl) are staged to fixed parquet, and the DuckDB oracle
+    independently recomputes candidate generation (probe ⋈ assignment),
+    exact cosine scoring over the original embeddings parquet, and the
+    top-k ranking.  The k-means training itself stays outside the checked
+    boundary (iterative, not one SQL statement) and is quality-pinned by
+    the ``ivf_recall`` gate (bar 0.8, measured 0.833/0.933 at
+    sf0.01/sf0.1 — near-orthogonal random embeddings are the quantizer's
+    worst case: candidate fraction is an honest nprobe/n_clusters = 0.5
+    here; clustered corpora prune harder at the same recall)."""
+    from pyspark.sql import Window
+    from tcr_kcore_spark.functions.similarity import ivf_index, ivf_probe
 
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where("vec_id < 5")
-    r = ivf_topk(emb, qs, k=3, n_clusters=16, nprobe=8, lloyd_iters=2)
+    corpus, cents = ivf_index(emb, n_clusters=16, lloyd_iters=2)
+    probed = ivf_probe(qs, cents, nprobe=8)
+    corpus.select("nbr", "cl").toPandas().to_parquet(
+        _ivf_stage_path("assign"), index=False
+    )
+    probed.select("q", "cl").toPandas().to_parquet(
+        _ivf_stage_path("probe"), index=False
+    )
+    cand = probed.join(corpus, "cl").where(F.col("q") != F.col("nbr"))
+    dot = F.aggregate(
+        F.zip_with("qe", "ne", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    sims = cand.select("q", "nbr", dot.alias("sim"))
+    w = Window.partitionBy("q").orderBy(F.desc("sim"), F.asc("nbr"))
+    r = sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
     return r.select("q", "nbr", F.round("sim", 4).alias("sim"))
+
+
+def _ivf_topk_sql() -> str:
+    assign, probe = _ivf_stage_path("assign"), _ivf_stage_path("probe")
+    return (
+        f"WITH a AS MATERIALIZED (SELECT nbr, cl FROM read_parquet('{assign}')),\n"
+        f"p AS MATERIALIZED (SELECT q, cl FROM read_parquet('{probe}')),\n"
+        "e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),\n"
+        "cand AS (SELECT p.q, a.nbr,\n"
+        "  list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),\n"
+        "                         CAST(en.embedding AS DOUBLE[])) AS sim\n"
+        "  FROM p JOIN a ON p.cl = a.cl AND p.q <> a.nbr\n"
+        "  JOIN e eq ON eq.vec_id = p.q JOIN e en ON en.vec_id = a.nbr),\n"
+        "ranked AS (SELECT q, nbr, sim,\n"
+        "  row_number() OVER (PARTITION BY q ORDER BY sim DESC, nbr ASC) AS rn\n"
+        "  FROM cand)\n"
+        "SELECT q, nbr, round(sim, 4) AS sim FROM ranked WHERE rn <= 3"
+    )
 
 
 def q_ivf_recall(spark, sf_dir):
@@ -1840,6 +1884,7 @@ _EXTRA_ORACLES = {
     "corpus_pagerank": _corpus_pagerank_sql(),
     "minhash_pairs": MINHASH_PAIRS_SQL,
     "simhash_pairs": _simhash_pairs_sql(),
+    "ivf_topk": _ivf_topk_sql(),
     "media_features": _media_features_sql(),
     "media_ppm_features": _media_ppm_sql(),
     "embed_neardup": EMBED_NEARDUP_SQL,

@@ -229,6 +229,61 @@ def _ivf_centroids(u: DataFrame, n_clusters: int, iters: int, seed: int) -> list
     return cents
 
 
+def ivf_index(
+    vectors: DataFrame,
+    n_clusters: int = 8,
+    lloyd_iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Train the IVF coarse quantizer and assign every corpus vector to
+    its inverted list.  Returns ``((nbr, ne, cl) cached DataFrame,
+    centroids)`` — the centroids are K·dim driver-side floats, the
+    assignment is one int column on the corpus."""
+    u = _unit(vectors, "nbr", id_col, vec_col).withColumn("_ivf_id", F.col("nbr"))
+    cents = _ivf_centroids(u, n_clusters, lloyd_iters, seed)
+    corpus = (
+        u.select("nbr", F.col("u").alias("ne"))
+        .withColumn("cl", _argmax_centroid(F.col("ne"), cents))
+        .persist()
+    )
+    return corpus, cents
+
+
+def ivf_probe(
+    queries: DataFrame,
+    cents: list[list[float]],
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q, qe, cl): each query paired with its ``nprobe`` closest
+    inverted-list ids (literal-centroid dots, top-nprobe per query)."""
+    qu = _unit(queries, "q", id_col, vec_col)
+    qdots = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    "u", F.array(*[F.lit(float(x)) for x in c]), lambda x, y: x * y
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            for c in cents
+        ]
+    )
+    probed = qu.select(
+        "q", F.col("u").alias("qe"), F.posexplode(qdots).alias("cl", "cdot")
+    )
+    wq = Window.partitionBy("q").orderBy(F.desc("cdot"), F.asc("cl"))
+    return (
+        probed.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("q", "qe", "cl")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame | None = None,
@@ -255,34 +310,9 @@ def ivf_topk(
     via nprobe (measured by the ``ivf_recall`` driver gate).  At cluster
     scale the corpus shuffles once on the cluster id and each Lloyd round
     is one map-side-combinable aggregation."""
-    u = _unit(vectors, "nbr", id_col, vec_col).withColumn("_ivf_id", F.col("nbr"))
-    cents = _ivf_centroids(u, n_clusters, lloyd_iters, seed)
-    corpus = (
-        u.select("nbr", F.col("u").alias("ne"))
-        .withColumn("cl", _argmax_centroid(F.col("ne"), cents))
-        .persist()
-    )
-    qu = _unit(queries if queries is not None else vectors, "q", id_col, vec_col)
-    qdots = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    "u", F.array(*[F.lit(float(x)) for x in c]), lambda x, y: x * y
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            for c in cents
-        ]
-    )
-    probed = qu.select(
-        "q", F.col("u").alias("qe"), F.posexplode(qdots).alias("cl", "cdot")
-    )
-    wq = Window.partitionBy("q").orderBy(F.desc("cdot"), F.asc("cl"))
-    probed = (
-        probed.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select("q", "qe", "cl")
+    corpus, cents = ivf_index(vectors, n_clusters, lloyd_iters, seed, id_col, vec_col)
+    probed = ivf_probe(
+        queries if queries is not None else vectors, cents, nprobe, id_col, vec_col
     )
     cand = probed.join(corpus, "cl").where(F.col("q") != F.col("nbr"))
     dot = F.aggregate(
