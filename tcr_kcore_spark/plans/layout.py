@@ -63,8 +63,12 @@ def locality_relabel(
     ``align_span``: also BIN-PACK clusters into ``align_span``-sized id
     bins (first-fit in cluster order, clusters padded past a boundary they
     would straddle; clusters larger than the span start ON a boundary).
-    Ids are then sparse (gaps at bin remainders, ≤ 2x inflation worst
-    case, far less in practice) but NO cluster smaller than the span
+    Ids are then sparse — gaps at bin remainders (< 2x from packing, as
+    every non-final bin is more than half full) plus up to one span per
+    range partition (each partition's extent rounds up to a span multiple
+    so its local alignment decisions stay valid under the absolute base);
+    with default settings that is ≤ 2·V + n_parts·span.  NO cluster
+    smaller than the span
     crosses a ``span``-aligned block edge — pass the same value as
     ``block_span=`` to the blocked k-core peel and every block sees only
     whole clusters, independent of how cluster sizes divide V.  Without

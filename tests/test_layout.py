@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from tcr_kcore_spark.graph import LinkGraph
@@ -151,3 +152,49 @@ def test_suggest_align_span(spark):
     assert s["span"] == 20
     s2 = suggest_align_span(labels, n_blocks_target=50)
     assert s2["span"] == 10  # p99 dominates when the target is fine-grained
+
+
+@pytest.mark.parametrize(
+    "sizes",
+    [
+        [8, 8, 8],            # clusters exactly == span: zero padding
+        [20, 3, 3, 3],        # one giant (> 2x span) + small fill
+        [1] * 17,             # many singletons: pure first-fit packing
+        [7, 2, 7, 2, 7, 2],   # alternating near-full + fill
+    ],
+)
+def test_align_span_edge_shapes(spark, sizes):
+    span = 8
+    ids = list(range(sum(sizes)))
+    rng = random.Random(5)
+    rng.shuffle(ids)
+    edges, members, off = [], [], 0
+    for s in sizes:
+        mem = ids[off : off + s]
+        off += s
+        members.append(mem)
+        if s == 1:  # self-contained vertex: give it a self-ish edge partner
+            continue
+        edges += [(mem[0], b) for b in mem[1:]]
+    # connect singletons pairwise so they appear in the edge table
+    singles = [m[0] for m, s in zip(members, sizes) if s == 1]
+    edges += [(a, b) for a, b in zip(singles[::2], singles[1::2])]
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    g2, mapping, _ = locality_relabel(g, align_span=span)
+    m = {r["orig"]: r["id"] for r in mapping.collect()}
+    vals = sorted(m.values())
+    V = g.vertices().count()
+    assert len(vals) == len(set(vals)) == V
+    # inflation bound: < 2x from packing + one span per range partition
+    # (the 8-partition test session), see the align_span docstring
+    assert vals[-1] < 2 * V + 8 * span
+    # alignment invariant: clusters (components here) <= span stay in one bin
+    from tcr_kcore_spark.operators.components import connected_components
+
+    comp, _ = connected_components(g)
+    groups = {}
+    for r in comp.collect():
+        groups.setdefault(r["component"], []).append(r["id"])
+    for mem in groups.values():
+        bins = {m[v] // span for v in mem}
+        assert len(mem) > span or len(bins) == 1, (len(mem), bins)
