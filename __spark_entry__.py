@@ -563,6 +563,49 @@ def q_kcore_peel_relabel(spark, sf_dir):
     )
 
 
+WALK_LEN, WALK_SEED = 3, 42
+
+
+def q_random_walks(spark, sf_dir):
+    """Deterministic random-walk sampling (operators/walks.py) — the
+    embedding-training corpus generator.  The md5(walk_id:step:seed)
+    step choice is computable in DuckDB too, so the ENTIRE walk corpus is
+    hash-checked against an unrolled SQL oracle (sampling semantics, not
+    just row counts)."""
+    from tcr_kcore_spark.operators.walks import random_walks
+
+    r, _ = random_walks(_graph(spark, sf_dir), length=WALK_LEN, seed=WALK_SEED)
+    return r
+
+
+def _walks_sql(length: int, seed: int) -> str:
+    steps = []
+    for k in range(1, length + 1):
+        h = (
+            f"CAST(('0x' || substr(md5(CAST(s.walk_id AS VARCHAR) || ':{k}:{seed}'), 1, 8)) AS BIGINT)"
+        )
+        steps.append(
+            f"s{k} AS (SELECT s.walk_id, idx.dst AS cur FROM s{k-1} s "
+            f"JOIN dg ON s.cur = dg.src "
+            f"JOIN idx ON idx.src = s.cur AND idx.i = {h} % dg.d)"
+        )
+    unions = ["SELECT walk_id, CAST(0 AS INTEGER) AS step, cur AS vertex FROM s0"] + [
+        f"SELECT walk_id, CAST({k} AS INTEGER) AS step, cur AS vertex FROM s{k}"
+        for k in range(1, length + 1)
+    ]
+    return (
+        f"WITH {EDGES_CTE},\n"
+        "idx AS MATERIALIZED (SELECT src, dst, "
+        "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS i FROM edges),\n"
+        "dg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS d "
+        "FROM edges GROUP BY src),\n"
+        "s0 AS (SELECT DISTINCT src AS walk_id, src AS cur FROM edges),\n"
+        + ",\n".join(steps)
+        + "\n"
+        + "\nUNION ALL ".join(unions)
+    )
+
+
 def q_bfs(spark, sf_dir):
     g = _graph(spark, sf_dir)
     source = g.edges.agg(F.min("src")).first()[0]
@@ -824,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_peel": q_kcore_peel,
         "kcore_peel_dist": q_kcore_peel_dist,
         "kcore_peel_relabel": q_kcore_peel_relabel,
+        "random_walks_l3": q_random_walks,
         "bfs_from_min": q_bfs,
         "sssp_w7": q_sssp,
         "hits_i4": q_hits,
@@ -851,6 +895,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_peel": _hindex_sql(KCORE_ROUNDS),
         "kcore_peel_dist": _hindex_sql(KCORE_ROUNDS),
         "kcore_peel_relabel": _hindex_sql(KCORE_ROUNDS),
+        "random_walks_l3": _walks_sql(WALK_LEN, WALK_SEED),
         "bfs_from_min": BFS_SQL,
         "sssp_w7": _sssp_sql(SSSP_ROUNDS),
         "hits_i4": _hits_sql(HITS_ITERS),

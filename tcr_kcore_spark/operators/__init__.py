@@ -11,6 +11,7 @@ from tcr_kcore_spark.operators.lpa import label_propagation
 from tcr_kcore_spark.operators.pagerank import pagerank
 from tcr_kcore_spark.operators.sssp import sssp
 from tcr_kcore_spark.operators.triangles import local_clustering_coefficient, triangle_count
+from tcr_kcore_spark.operators.walks import random_walks
 
 __all__ = [
     "bfs",
@@ -23,6 +24,7 @@ __all__ = [
     "louvain_aggregate",
     "louvain_phase1",
     "pagerank",
+    "random_walks",
     "sssp",
     "triangle_count",
     "local_clustering_coefficient",

@@ -1,0 +1,75 @@
+"""random_walks: deterministic md5-choice walk sampling (operators/walks.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from tcr_kcore_spark.graph import LinkGraph
+from tcr_kcore_spark.operators.walks import random_walks
+from tests.conftest import edges_df
+
+
+def _py_walks(
+    adj: dict[int, list[int]], length: int, W: int, seed: int, verts=None
+):
+    """Independent Python simulation: neighbors in sorted order, choice =
+    int(md5(f"{walk_id}:{step}:{seed}")[:8], 16) % deg.  ``verts`` defaults
+    to the adjacency keys; pass the full vertex set for directed graphs
+    where sinks start walks too."""
+    rows = []
+    for v in sorted(verts if verts is not None else adj):
+        for r in range(W):
+            wid, cur = v * W + r, v
+            rows.append((wid, 0, cur))
+            for step in range(1, length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                h = int(
+                    hashlib.md5(f"{wid}:{step}:{seed}".encode()).hexdigest()[:8], 16
+                )
+                cur = sorted(nbrs)[h % len(nbrs)]
+                rows.append((wid, step, cur))
+    return sorted(rows)
+
+
+def _adj(edges, directed):
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        if not directed:
+            adj.setdefault(b, []).append(a)
+    return adj
+
+
+def test_walks_match_python_oracle(spark):
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 0), (1, 4)]
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    got, stats = random_walks(g, length=5, walks_per_vertex=2, seed=7)
+    want = _py_walks(_adj(edges, directed=False), 5, 2, 7)
+    assert sorted(map(tuple, got.collect())) == want
+    assert stats.supersteps == 5
+
+
+def test_walks_deterministic(spark):
+    edges = [(i, (i * 3 + 1) % 20) for i in range(40)]
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    a, _ = random_walks(g, length=4, seed=1)
+    b, _ = random_walks(g, length=4, seed=1)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_walks_stop_at_sinks(spark):
+    # directed path 0 -> 1 -> 2: walks from 2 emit only step 0; from 1,
+    # steps 0-1; from 0 the full length is reachable but the walk parks
+    # at the sink and stops
+    edges = [(0, 1), (1, 2)]
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=True)
+    got, _ = random_walks(g, length=3, seed=0)
+    rows = sorted(map(tuple, got.collect()))
+    want = _py_walks(_adj(edges, directed=True), 3, 1, 0, verts={0, 1, 2})
+    assert rows == want
+    by_wid = {}
+    for wid, step, _v in rows:
+        by_wid[wid] = max(by_wid.get(wid, 0), step)
+    assert by_wid == {0: 2, 1: 1, 2: 0}
