@@ -563,6 +563,50 @@ def q_kcore_peel_relabel(spark, sf_dir):
     )
 
 
+PPR_SEEDS = 5
+
+
+def q_ppr(spark, sf_dir):
+    """Personalized PageRank (seed-relative relevance; reset uniform over
+    the 5 lowest vertex ids, r0 = p, 8 fixed supersteps) — same folded
+    plan as pagerank_i8, different base term; hash-checked against the
+    unrolled SQL recurrence at round-9 (PPR ranks are O(1e-4..1e-1), so
+    round-9 leaves ~1e-5 relative headroom over cross-engine float
+    regrouping noise)."""
+    from tcr_kcore_spark.operators.pagerank import personalized_pagerank
+
+    g = _graph(spark, sf_dir)
+    seeds = g.vertices().orderBy("id").limit(PPR_SEEDS)
+    r, _ = personalized_pagerank(g, seeds, max_iter=PR_ITERS)
+    return r.select("id", F.round("rank", 9).alias("rank"))
+
+
+def _ppr_sql(iters: int, n_seeds: int) -> str:
+    ctes = [
+        EDGES_CTE,
+        VERTS_CTE,
+        DEG_CTE,
+        f"sd AS MATERIALIZED (SELECT id FROM verts ORDER BY id LIMIT {n_seeds})",
+        "pv AS MATERIALIZED (SELECT v.id, CASE WHEN s.id IS NULL THEN 0.0 "
+        f"ELSE 1.0/{n_seeds} END AS p FROM verts v LEFT JOIN sd s ON v.id = s.id)",
+        "r0 AS MATERIALIZED (SELECT id, p AS rank FROM pv)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank / d.degree) AS s "
+            f"FROM edges e JOIN r{i-1} r ON e.src = r.id "
+            f"JOIN deg d ON e.src = d.id GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT v.id, 0.15 * v.p + 0.85 * coalesce(m.s, 0.0) AS rank "
+            f"FROM pv v LEFT JOIN m{i} m ON v.id = m.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(rank, 9) AS rank FROM r{iters}"
+    )
+
+
 WALK_LEN, WALK_SEED = 3, 42
 
 
@@ -868,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_peel_dist": q_kcore_peel_dist,
         "kcore_peel_relabel": q_kcore_peel_relabel,
         "random_walks_l3": q_random_walks,
+        "ppr_i8": q_ppr,
         "bfs_from_min": q_bfs,
         "sssp_w7": q_sssp,
         "hits_i4": q_hits,
@@ -896,6 +941,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_peel_dist": _hindex_sql(KCORE_ROUNDS),
         "kcore_peel_relabel": _hindex_sql(KCORE_ROUNDS),
         "random_walks_l3": _walks_sql(WALK_LEN, WALK_SEED),
+        "ppr_i8": _ppr_sql(PR_ITERS, PPR_SEEDS),
         "bfs_from_min": BFS_SQL,
         "sssp_w7": _sssp_sql(SSSP_ROUNDS),
         "hits_i4": _hits_sql(HITS_ITERS),

@@ -164,3 +164,96 @@ def pagerank_fixed_iters(
         truncate_every=truncate_every,
     )
     return result
+
+
+def personalized_pagerank(
+    graph: LinkGraph,
+    seeds,
+    damping: float = 0.85,
+    tol: float = -1.0,
+    max_iter: int = 8,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
+    resume: bool = False,
+    truncate_every: int = 1,
+) -> tuple[DataFrame, SuperstepStats]:
+    """Personalized PageRank: ``r' = (1−d)·p + d·Σ_{u∈in(v)} r_u/outdeg_u``
+    with the reset distribution ``p`` uniform over ``seeds`` (a DataFrame
+    with an ``id`` column, or an iterable of vertex ids) and ``r₀ = p`` —
+    the seed-relative relevance vector used for related-item retrieval
+    over link graphs.  The reference has no PPR; this reuses the plain
+    PageRank plan unchanged (folded damping/outdeg edge weights cached
+    and partitioned once, one join + one aggregation + one outer join per
+    superstep) — only the base term and the init differ, so every scale
+    property of D1/D3 carries over.  ``tol <= 0`` runs exactly
+    ``max_iter`` supersteps (the SQL-oracle-pinned mode); ``tol > 0``
+    stops at max |Δr| ≤ tol."""
+    spark = graph.edges.sparkSession
+    if not isinstance(seeds, DataFrame):
+        seeds = spark.createDataFrame([(int(s),) for s in seeds], "id long")
+    verts = graph.vertices()
+    k = seeds.count()
+    if k == 0:
+        raise ValueError("personalized_pagerank needs at least one seed")
+    verts_p = (
+        verts.join(seeds.select("id", F.lit(1.0 / k).alias("p")), "id", "left")
+        .select("id", F.coalesce("p", F.lit(0.0)).alias("p"))
+        .persist()
+    )
+    n = verts_p.count()
+    bcast = n <= broadcast_max_rows()
+
+    out_deg = graph.out_degrees()
+    edges_w = plan_superstep_edges(
+        graph.edges.select("src", "dst")
+        .join(out_deg.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst", (F.lit(damping) / F.col("out_deg")).alias("w")),
+        bcast,
+    ).persist()
+    edges_w.count()
+
+    init = verts_p.select("id", F.col("p").alias("rank"))
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        s = state.withColumnRenamed("id", "src")
+        msgs = (
+            edges_w.join(state_side(s, bcast), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("w") * F.col("rank")).alias("msg"))
+        )
+        new_rank = F.lit(1.0 - damping) * F.col("p") + F.coalesce(
+            F.col("msg"), F.lit(0.0)
+        )
+        msgs_b = F.broadcast(msgs) if bcast else msgs
+        state_b = F.broadcast(state) if bcast else state
+        return (
+            verts_p.join(msgs_b, "id", "left")
+            .select("id", new_rank.alias("new_rank"))
+            .join(state_b, "id")
+            .select(
+                "id",
+                F.col("new_rank").alias("rank"),
+                F.abs(F.col("new_rank") - F.col("rank")).alias("delta"),
+            )
+        )
+
+    def converged(prev: DataFrame, new: DataFrame, i: int) -> bool:
+        if tol <= 0:
+            return False
+        return (new.agg(F.max("delta")).first()[0] or 0.0) <= tol
+
+    state, stats = run_supersteps(
+        init,
+        step,
+        converged,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        name="ppr",
+        resume=resume,
+        truncate_every=truncate_every,
+    )
+    result = propagate_release(state.select("id", "rank"), state)
+    edges_w.unpersist()
+    verts_p.unpersist()
+    return result, stats

@@ -53,3 +53,47 @@ def test_pagerank_star_hub(spark):
     want = oracles.pagerank(edges, tol=1e-8)
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-6)
+
+
+def test_personalized_pagerank_numpy_oracle(spark):
+    import numpy as np
+
+    from tcr_kcore_spark.operators.pagerank import personalized_pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (1, 4)]
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    seeds = [0, 3]
+    got, stats = personalized_pagerank(g, seeds, max_iter=12)
+    assert stats.supersteps == 12
+    # dense NumPy simulation with identical semantics
+    V = 5
+    sym = set()
+    for a, b in edges:
+        sym.add((a, b)); sym.add((b, a))
+    outdeg = np.zeros(V)
+    for a, _ in sym:
+        outdeg[a] += 1
+    p = np.zeros(V)
+    p[seeds] = 1.0 / len(seeds)
+    r = p.copy()
+    for _ in range(12):
+        msg = np.zeros(V)
+        for a, b in sym:
+            msg[b] += 0.85 * r[a] / outdeg[a]
+        r = 0.15 * p + msg
+    want = {i: r[i] for i in range(V)}
+    for row in got.collect():
+        assert abs(row["rank"] - want[row["id"]]) < 1e-12, row
+    # probability mass is conserved on this dangling-free symmetric graph
+    assert abs(sum(want.values()) - 1.0) < 1e-9
+
+
+def test_personalized_pagerank_tol_converges(spark):
+    from tcr_kcore_spark.operators.pagerank import personalized_pagerank
+
+    edges = [(i, (i + 1) % 10) for i in range(10)]
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    got, stats = personalized_pagerank(g, [0], tol=1e-10, max_iter=200)
+    assert stats.converged and stats.supersteps < 200
+    total = sum(r["rank"] for r in got.collect())
+    assert abs(total - 1.0) < 1e-6  # no dangling on the symmetrized cycle
