@@ -236,3 +236,36 @@ def test_ivf_deterministic_and_no_dup_candidates(spark):
     # inverted lists partition the corpus: no (q, nbr) appears twice
     pairs = [(q, n) for q, n, _ in a]
     assert len(pairs) == len(set(pairs))
+
+
+def test_neighborhood_reach_exact_regime(spark):
+    """Below 2^lg_k distinct values HLL sits in its sparse (exact) mode,
+    so small-graph reach counts are exact — pins the hop semantics."""
+    from tcr_kcore_spark.functions.sketches import neighborhood_reach
+    from tcr_kcore_spark.graph import LinkGraph
+    from tests.conftest import edges_df
+
+    # path 0-1-2-3-4 (undirected): the 2-hop set includes the vertex
+    # itself (v -> u -> v on a symmetric graph), so reach = 3/4/5/4/3
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    got = {r["id"]: r["reach"] for r in neighborhood_reach(g, hops=2).collect()}
+    assert got == {0: 3, 1: 4, 2: 5, 3: 4, 4: 3}
+    # hops=1 == exact out-degree
+    got1 = {r["id"]: r["reach"] for r in neighborhood_reach(g, hops=1).collect()}
+    assert got1 == {0: 1, 1: 2, 2: 2, 3: 2, 4: 1}
+    # hops=3: end vertex reaches {self, 1, 2, 3}; middle reaches all 5
+    got3 = {r["id"]: r["reach"] for r in neighborhood_reach(g, hops=3).collect()}
+    assert got3[0] == 4 and got3[2] == 5
+
+
+def test_neighborhood_reach_deterministic(spark):
+    from tcr_kcore_spark.functions.sketches import neighborhood_reach
+    from tcr_kcore_spark.graph import LinkGraph
+    from tests.conftest import edges_df
+
+    edges = [(i, (i * 7 + 3) % 50) for i in range(150)]
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    a = sorted(map(tuple, neighborhood_reach(g, hops=2, lg_k=8).collect()))
+    b = sorted(map(tuple, neighborhood_reach(g, hops=2, lg_k=8).collect()))
+    assert a == b
