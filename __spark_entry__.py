@@ -650,6 +650,28 @@ def _walks_sql(length: int, seed: int) -> str:
     )
 
 
+def q_skipgram(spark, sf_dir):
+    """Skip-gram (center, context, cnt) training pairs from the walk
+    corpus (window 2) — the word2vec/DeepWalk co-occurrence table; the
+    walk SQL oracle nests as a CTE and the pair join + count replays in
+    DuckDB, so the whole corpus-generation pipeline is hash-checked."""
+    from tcr_kcore_spark.operators.walks import random_walks, skipgram_pairs
+
+    walks, _ = random_walks(_graph(spark, sf_dir), length=WALK_LEN, seed=WALK_SEED)
+    return skipgram_pairs(walks, window=2)
+
+
+def _skipgram_sql(length: int, seed: int, window: int) -> str:
+    return (
+        f"WITH walks AS MATERIALIZED ({_walks_sql(length, seed)})\n"
+        "SELECT a.vertex AS center, b.vertex AS context, "
+        "CAST(count(*) AS BIGINT) AS cnt\n"
+        "FROM walks a JOIN walks b ON a.walk_id = b.walk_id "
+        f"AND a.step <> b.step AND abs(a.step - b.step) <= {window}\n"
+        "GROUP BY a.vertex, b.vertex"
+    )
+
+
 def q_bfs(spark, sf_dir):
     g = _graph(spark, sf_dir)
     source = g.edges.agg(F.min("src")).first()[0]
@@ -912,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_peel_dist": q_kcore_peel_dist,
         "kcore_peel_relabel": q_kcore_peel_relabel,
         "random_walks_l3": q_random_walks,
+        "skipgram_w2": q_skipgram,
         "ppr_i8": q_ppr,
         "bfs_from_min": q_bfs,
         "sssp_w7": q_sssp,
@@ -941,6 +964,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_peel_dist": _hindex_sql(KCORE_ROUNDS),
         "kcore_peel_relabel": _hindex_sql(KCORE_ROUNDS),
         "random_walks_l3": _walks_sql(WALK_LEN, WALK_SEED),
+        "skipgram_w2": _skipgram_sql(WALK_LEN, WALK_SEED, 2),
         "ppr_i8": _ppr_sql(PR_ITERS, PPR_SEEDS),
         "bfs_from_min": BFS_SQL,
         "sssp_w7": _sssp_sql(SSSP_ROUNDS),

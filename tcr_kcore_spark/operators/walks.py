@@ -88,3 +88,28 @@ def random_walks(
     for o in out[1:]:
         res = res.unionByName(o)
     return res, stats
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context, cnt): skip-gram training pairs from a walk corpus
+    — every ordered (vertex_at_step_i, vertex_at_step_j) pair within the
+    same walk at 0 < |i − j| ≤ ``window``, with multiplicity (the
+    word2vec/DeepWalk co-occurrence table a trainer consumes).  One
+    self-join on walk_id bounded by the step-distance predicate (walks
+    are length-L rows, so the join fan-out per walk is ≤ L·2w — never a
+    cross join), then a map-side-combinable count."""
+    a = walks.select(
+        F.col("walk_id"), F.col("step").alias("si"), F.col("vertex").alias("center")
+    )
+    b = walks.select(
+        F.col("walk_id"), F.col("step").alias("sj"), F.col("vertex").alias("context")
+    )
+    return (
+        a.join(b, "walk_id")
+        .where(
+            (F.col("si") != F.col("sj"))
+            & (F.abs(F.col("si") - F.col("sj")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

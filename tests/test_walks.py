@@ -73,3 +73,26 @@ def test_walks_stop_at_sinks(spark):
     for wid, step, _v in rows:
         by_wid[wid] = max(by_wid.get(wid, 0), step)
     assert by_wid == {0: 2, 1: 1, 2: 0}
+
+
+def test_skipgram_pairs_python_oracle(spark):
+    from collections import Counter
+
+    from tcr_kcore_spark.operators.walks import skipgram_pairs
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 0)]
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    walks, _ = random_walks(g, length=4, seed=3)
+    got = {(r["center"], r["context"]): r["cnt"]
+           for r in skipgram_pairs(walks, window=2).collect()}
+    rows = _py_walks(_adj(edges, directed=False), 4, 1, 3)
+    by_wid = {}
+    for wid, step, v in rows:
+        by_wid.setdefault(wid, []).append((step, v))
+    want = Counter()
+    for seq in by_wid.values():
+        for si, c in seq:
+            for sj, x in seq:
+                if si != sj and abs(si - sj) <= 2:
+                    want[(c, x)] += 1
+    assert got == dict(want)
