@@ -563,6 +563,48 @@ def q_kcore_peel_relabel(spark, sf_dir):
     )
 
 
+KTRUSS_K, KTRUSS_ROUNDS = 12, 8  # converges in 5/≤8 rounds at the driver
+# SFs (measured); extra unrolled rounds are no-ops past the fixpoint
+# (edge peeling is monotone), same convention as KCORE_ROUNDS
+
+
+def q_ktruss(spark, sf_dir):
+    """k-truss edge peeling (k=12): iteratively delete edges in fewer than
+    k−2 triangles, recounting support INSIDE the survivor subgraph each
+    round — the edge analog of the k-core peel; per-round support reuses
+    the triangle wedge-close enumeration and each round is
+    lineage-truncated (operators/triangles.py:ktruss)."""
+    from tcr_kcore_spark.operators.triangles import ktruss
+
+    r, _ = ktruss(_graph(spark, sf_dir), KTRUSS_K)
+    return r
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    th = int(k) - 2
+    ctes = [
+        EDGES_CTE,
+        "e0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges WHERE src < dst)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"t{i} AS MATERIALIZED (SELECT p.a AS x, p.b AS y, q.b AS z "
+            f"FROM e{i-1} p JOIN e{i-1} q ON p.a = q.a AND p.b < q.b "
+            f"JOIN e{i-1} r ON r.a = p.b AND r.b = q.b)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT a, b, count(*) AS sup FROM ("
+            f"SELECT x AS a, y AS b FROM t{i} UNION ALL "
+            f"SELECT x AS a, z AS b FROM t{i} UNION ALL "
+            f"SELECT y AS a, z AS b FROM t{i}) GROUP BY a, b)"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT e.a, e.b FROM e{i-1} e "
+            f"JOIN s{i} s ON e.a = s.a AND e.b = s.b AND s.sup >= {th})"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT a, b FROM e{rounds}"
+
+
 PPR_SEEDS = 5
 
 
@@ -936,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_l3": q_random_walks,
         "skipgram_w2": q_skipgram,
         "ppr_i8": q_ppr,
+        "ktruss_k12": q_ktruss,
         "bfs_from_min": q_bfs,
         "sssp_w7": q_sssp,
         "hits_i4": q_hits,
@@ -966,6 +1009,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks_l3": _walks_sql(WALK_LEN, WALK_SEED),
         "skipgram_w2": _skipgram_sql(WALK_LEN, WALK_SEED, 2),
         "ppr_i8": _ppr_sql(PR_ITERS, PPR_SEEDS),
+        "ktruss_k12": _ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS),
         "bfs_from_min": BFS_SQL,
         "sssp_w7": _sssp_sql(SSSP_ROUNDS),
         "hits_i4": _hits_sql(HITS_ITERS),

@@ -141,3 +141,72 @@ def local_clustering_coefficient(g: LinkGraph) -> DataFrame:
         )
     )
     return propagate_release(out, tri)
+
+
+def edge_support(edges_canon: DataFrame) -> DataFrame:
+    """(a, b, support): triangles through each canonical (a < b) edge of
+    an undirected edge set given in canonical form.  Triangles are
+    enumerated once in id order (x < y < z: (x,y) ⋈ (x,z) wedge closed by
+    (y,z)) and each triangle credits its three edges — the per-edge analog
+    of triangles_per_vertex's per-vertex credit."""
+    e = edges_canon.select(F.col("a"), F.col("b"))
+    w = (
+        e.alias("p")
+        .join(e.alias("q"), F.col("p.a") == F.col("q.a"))
+        .where(F.col("p.b") < F.col("q.b"))
+        .select(F.col("p.a").alias("x"), F.col("p.b").alias("y"), F.col("q.b").alias("z"))
+    )
+    tri = w.join(
+        e.select(F.col("a").alias("y"), F.col("b").alias("z")), ["y", "z"], "left_semi"
+    )
+    credits = (
+        tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .unionByName(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+        .unionByName(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+    )
+    return credits.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+
+
+def ktruss(
+    graph: LinkGraph, k: int, max_iter: int = 1000
+) -> tuple[DataFrame, "SuperstepStats"]:
+    """(a, b) edges of the k-truss: the maximal subgraph in which every
+    edge participates in ≥ k−2 triangles (triangles recounted INSIDE the
+    surviving subgraph each round — the edge-peeling analog of the k-core
+    vertex peel, D4).  Canonical a < b rows; vertices drop out implicitly
+    with their last edge.  Each round is one triangle enumeration + one
+    anti-filter, lineage-truncated; rounds are monotone (edges only leave)
+    so a fixed-round unrolling is a valid oracle once past the fixpoint.
+    Skew note: the wedge join keys on the lower-id endpoint; the
+    degree-ordered orientation triangles_per_vertex uses is the hub-safe
+    upgrade if id-order wedges ever skew (same trade documented there)."""
+    from tcr_kcore_spark.superstep import SuperstepStats, truncate_lineage
+
+    stats = SuperstepStats()
+    und = graph.undirected_view()
+    cur = (
+        und.edges.where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .distinct()
+    )
+    cur = truncate_lineage(cur)
+    thresh = int(k) - 2
+    for _ in range(max_iter):
+        sup = edge_support(cur)
+        nxt = (
+            cur.join(sup, ["a", "b"], "left")
+            .where(F.coalesce(F.col("support"), F.lit(0)) >= thresh)
+            .select("a", "b")
+        )
+        nxt = truncate_lineage(nxt)
+        stats.supersteps += 1
+        n_cur, n_nxt = cur.count(), nxt.count()
+        stats.actions += 2
+        cur = nxt
+        if n_nxt == n_cur:
+            stats.converged = True
+            break
+        if n_nxt == 0:
+            stats.converged = True
+            break
+    return cur, stats

@@ -61,3 +61,61 @@ def test_lcc(spark):
     assert got[0] == pytest.approx(1.0)
     assert got[2] == pytest.approx(2 * 1 / (3 * 2))
     assert got[3] == 0.0
+
+
+def test_edge_support_matches_triangle_total(spark):
+    from pyspark.sql import functions as F
+
+    from tcr_kcore_spark.operators.triangles import edge_support
+
+    edges = [(i, (i * 3 + 1) % 30) for i in range(60)] + [(0, 1), (1, 2), (0, 2)]
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    canon = (
+        g.undirected_view().edges.where("src < dst")
+        .selectExpr("src as a", "dst as b").distinct()
+    )
+    sup = edge_support(canon)
+    total = sup.agg((F.sum("support") / 3).cast("long")).first()[0]
+    ref = triangle_count(g).first()[0]
+    assert total == ref
+
+
+def test_ktruss_python_oracle(spark):
+    import itertools
+    import random
+
+    from tcr_kcore_spark.operators.triangles import ktruss
+
+    rng = random.Random(13)
+    edges = list({tuple(sorted(rng.sample(range(25), 2))) for _ in range(120)})
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    for k in (3, 4, 5):
+        got, stats = ktruss(g, k)
+        assert stats.converged
+        # python peel
+        cur = set(edges)
+        while True:
+            adj = {}
+            for a, b in cur:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            sup = {
+                (a, b): len(adj[a] & adj[b]) for a, b in cur
+            }
+            nxt = {e for e in cur if sup[e] >= k - 2}
+            if nxt == cur:
+                break
+            cur = nxt
+        assert sorted(map(tuple, got.collect())) == sorted(cur)
+
+
+def test_ktruss_k4_is_k4(spark):
+    from tcr_kcore_spark.operators.triangles import ktruss
+
+    # K4 + pendant triangle: 4-truss keeps exactly the K4
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (3, 5)]
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    got, _ = ktruss(g, 4)
+    assert sorted(map(tuple, got.collect())) == [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)
+    ]
