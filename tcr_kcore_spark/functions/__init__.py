@@ -9,7 +9,16 @@ from tcr_kcore_spark.functions.dedup import (
     simhash_64,
     simhash_pairs,
 )
-from tcr_kcore_spark.functions.similarity import cosine_topk, lsh_topk
+from tcr_kcore_spark.functions.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    ivf_index,
+    ivf_probe,
+    ivf_topk,
+    lsh_neardup_pairs,
+    lsh_topk,
+)
+from tcr_kcore_spark.functions.sketches import neighborhood_reach
 from tcr_kcore_spark.functions.text import (
     fingerprint,
     language_id,
@@ -24,6 +33,12 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_64",
     "simhash_pairs",
+    "cosine_neardup_pairs",
+    "ivf_index",
+    "ivf_probe",
+    "ivf_topk",
+    "lsh_neardup_pairs",
+    "neighborhood_reach",
     "cosine_topk",
     "lsh_topk",
     "fingerprint",
