@@ -50,6 +50,22 @@ from tcr_kcore_spark.sources.relational import (
     order_part_edges,
 )
 
+def _stage_root() -> str:
+    """Directory for staged oracle artifacts (signatures, IVF index, text
+    edge lists, corpus fixture).  Defaults to the system temp dir; override
+    with ``TCR_KCORE_STAGE_DIR`` so CONCURRENT harness processes (e.g. a
+    pytest run beside a driver sweep) cannot overwrite each other's staged
+    files between an entry's write and its oracle's read — the one observed
+    flake mode of the staged-oracle pattern.  ``queries()`` entries and
+    ``oracle_sql()`` strings both resolve the path at call time in the same
+    process, so the override stays consistent within one harness run."""
+    import tempfile as _tempfile
+
+    d = os.environ.get("TCR_KCORE_STAGE_DIR") or _tempfile.gettempdir()
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB)
 # ---------------------------------------------------------------------------
@@ -1239,9 +1255,8 @@ MINHASH_PAIRS_SQL = (
 
 def _simhash_sigs_path() -> str:
     import os as _os
-    import tempfile as _tempfile
 
-    return _os.path.join(_tempfile.gettempdir(), "tcr_kcore_simhash_sigs.parquet")
+    return _os.path.join(_stage_root(), "tcr_kcore_simhash_sigs.parquet")
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -1337,10 +1352,9 @@ def _events_stream_dir(sf_dir: str) -> str:
     """Stage the events parquet behind a symlink in a per-sf temp dir —
     the file stream source requires a DIRECTORY; no data copy."""
     import os as _os
-    import tempfile as _tempfile
 
     tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
-    src_dir = _os.path.join(_tempfile.gettempdir(), f"tcr_kcore_events_{tag}")
+    src_dir = _os.path.join(_stage_root(), f"tcr_kcore_events_{tag}")
     _os.makedirs(src_dir, exist_ok=True)
     link = _os.path.join(src_dir, "events.parquet")
     target = _os.path.join(sf_dir, "events.parquet")
@@ -1452,9 +1466,8 @@ def q_lsh_recall(spark, sf_dir):
 
 def _ivf_stage_path(tag: str) -> str:
     import os as _os
-    import tempfile as _tempfile
 
-    return _os.path.join(_tempfile.gettempdir(), f"tcr_kcore_ivf_{tag}.parquet")
+    return _os.path.join(_stage_root(), f"tcr_kcore_ivf_{tag}.parquet")
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -1765,10 +1778,9 @@ def _snap_edgelist_file(spark, sf_dir: str) -> str:
     import glob
     import os
     import shutil
-    import tempfile
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join(tempfile.gettempdir(), f"tcr_kcore_edgelist_{tag}.txt")
+    path = os.path.join(_stage_root(), f"tcr_kcore_edgelist_{tag}.txt")
     w = (F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(7))).cast("long")
     lines = (
         order_part_edges(spark, sf_dir)
@@ -1855,11 +1867,10 @@ def _corpus_parquet() -> str:
     (VERDICT r3 item #8).  pandas→parquet directly (60 rows); content is a
     pure function of the fixed seed, overwritten on every call."""
     import os as _os
-    import tempfile as _tempfile
 
     from tcr_kcore_spark.sources.corpus import synth_corpus_pdf
 
-    path = _os.path.join(_tempfile.gettempdir(), "tcr_kcore_corpus_tiny.parquet")
+    path = _os.path.join(_stage_root(), "tcr_kcore_corpus_tiny.parquet")
     synth_corpus_pdf("tiny").to_parquet(path, index=False)
     return path
 

@@ -1,11 +1,22 @@
 from __future__ import annotations
 
+import os
 import sys
+import tempfile
 from pathlib import Path
 
 import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Isolate this pytest run's staged oracle artifacts (simhash signatures, IVF
+# index, staged edge lists, corpus fixture) from any concurrently running
+# driver/parity sweep: both would otherwise share fixed paths under the
+# system temp dir, and a different-SF run can overwrite a staged file
+# between an entry's write and its oracle's read (__spark_entry__._stage_root).
+os.environ.setdefault(
+    "TCR_KCORE_STAGE_DIR", tempfile.mkdtemp(prefix="tcr_kcore_pytest_stage_")
+)
 
 from tcr_kcore_spark.session import get_spark  # noqa: E402
 
