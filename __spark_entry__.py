@@ -1740,6 +1740,61 @@ def _media_ppm_sql(n: int = 48, seed: int = 42) -> str:
     )
 
 
+def q_media_resize(spark, sf_dir):
+    """REAL image resize through the Arrow path (the remaining multimodal
+    verb beside decode/featurize/frame-sample): P6 payloads decoded by the
+    netpbm parser, nearest-neighbor-resized to 6×4 in NumPy, re-encoded as
+    P6.  The checked n_bytes is the RE-ENCODED container size and the
+    checksum is the sha256 of the RESIZED pixel buffer — neither exists
+    before decode+resize ran, so the hash match pins the whole kernel."""
+    from tcr_kcore_spark.functions.multimodal import (
+        resize_media,
+        synth_ppm_media_table,
+    )
+
+    media = synth_ppm_media_table(spark, n=48)
+    out = resize_media(media, out_w=6, out_h=4)
+    return out.select(
+        "sample_id",
+        F.length("media").alias("n_bytes"),
+        "width",
+        "height",
+        "checksum",
+    )
+
+
+def _media_resize_sql(
+    n: int = 48, seed: int = 42, out_w: int = 6, out_h: int = 4
+) -> str:
+    """Expectation table for q_media_resize, re-derived from the synth spec
+    + the documented nearest-neighbor index-map semantics (output row i =
+    source row floor(i*H/out_h)) with plain numpy/hashlib — no Spark-side
+    kernel imports.  n_bytes = len('P6\\n{w} {h}\\n255\\n') + w*h*3."""
+    import hashlib as _hashlib
+
+    import numpy as _np
+
+    vals = []
+    for i in range(n):
+        sid = seed * 1000 + i
+        w, h = 8 + i % 5, 6 + i % 4
+        y, x, c = _np.ogrid[0:h, 0:w, 0:3]
+        pix = ((13 * sid + 3 * x + 7 * y + 11 * c) % 256).astype(_np.uint8)
+        ys = (_np.arange(out_h) * h) // out_h
+        xs = (_np.arange(out_w) * w) // out_w
+        resized = pix[ys][:, xs]
+        cks = _hashlib.sha256(resized.tobytes()).hexdigest()[:16]
+        n_bytes = len(f"P6\n{out_w} {out_h}\n255\n") + out_w * out_h * 3
+        vals.append(f"({sid}, {n_bytes}, {out_w}, {out_h}, '{cks}')")
+    return (
+        "SELECT CAST(sample_id AS BIGINT) AS sample_id, "
+        "CAST(n_bytes AS BIGINT) AS n_bytes, CAST(width AS INTEGER) AS width, "
+        "CAST(height AS INTEGER) AS height, checksum FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(sample_id, n_bytes, width, height, checksum)"
+    )
+
+
 def _media_features_sql(n: int = 64, seed: int = 42) -> str:
     """Expected (sample_id, modality, n_bytes, checksum) rows re-derived
     from the synth_media_table spec (payload = sha256(f"{seed}:{i}") x
@@ -2090,6 +2145,7 @@ _EXTRA_QUERIES = {
     "embed_neardup_recall": q_embed_neardup_recall,
     "media_features": q_media_features,
     "media_ppm_features": q_media_ppm,
+    "media_resize": q_media_resize,
 }
 _EXTRA_ORACLES = {
     "jaccard2_pairs": JACCARD2_SQL,
@@ -2111,6 +2167,7 @@ _EXTRA_ORACLES = {
     "ivf_topk": _ivf_topk_sql(),
     "media_features": _media_features_sql(),
     "media_ppm_features": _media_ppm_sql(),
+    "media_resize": _media_resize_sql(),
     "embed_neardup": EMBED_NEARDUP_SQL,
 }
 

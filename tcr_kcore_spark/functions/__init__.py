@@ -18,6 +18,11 @@ from tcr_kcore_spark.functions.similarity import (
     lsh_neardup_pairs,
     lsh_topk,
 )
+from tcr_kcore_spark.functions.multimodal import (
+    decode_and_featurize,
+    frame_sample_plan,
+    resize_media,
+)
 from tcr_kcore_spark.functions.sketches import neighborhood_reach
 from tcr_kcore_spark.functions.text import (
     fingerprint,
@@ -34,6 +39,9 @@ __all__ = [
     "simhash_64",
     "simhash_pairs",
     "cosine_neardup_pairs",
+    "decode_and_featurize",
+    "frame_sample_plan",
+    "resize_media",
     "ivf_index",
     "ivf_probe",
     "ivf_topk",

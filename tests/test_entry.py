@@ -118,9 +118,15 @@ NEW_ORACLE = ["jaccard2_pairs", "lang_id", "louvain_p1",
               "tri_total", "events_stream", "louvain_full",
               "corpus_edges", "corpus_invariant", "corpus_pagerank",
               "minhash_pairs", "media_features", "pagerank_factored_i8",
-              "events_user_totals"]
-ROWS_ONLY = ["simhash_pairs", "lsh_topk",
-             "lsh_recall", "minhash_recall", "simhash_recall"]
+              "events_user_totals",
+              # round 5: staged-oracle + generator-expectation entries
+              "simhash_pairs", "media_ppm_features", "media_resize",
+              "ivf_topk", "embed_neardup", "random_walks_l3",
+              "skipgram_w2", "ppr_i8", "ktruss_k12"]
+ROWS_ONLY = ["lsh_topk",
+             "lsh_recall", "minhash_recall", "simhash_recall",
+             "ivf_recall", "reach2", "reach2_err",
+             "embed_neardup_lsh", "embed_neardup_recall"]
 
 
 def test_lsh_recall_meets_bar(spark):

@@ -255,3 +255,82 @@ def test_stream_dedup_across_micro_batches(spark, tmp_path):
     q.awaitTermination()
     assert spark.table("t_dedup_mb").count() == 300
     assert spark.table("t_dedup_mb").select("event_id").distinct().count() == 300
+
+
+def test_resize_box_exact_truncating_mean():
+    """Box-mean downsample equals an independent per-block loop (truncating
+    integer mean); non-divisible dims fail loudly."""
+    import numpy as np
+
+    from tcr_kcore_spark.functions.multimodal import resize_box, synth_ppm_pixels
+
+    pix = synth_ppm_pixels(7, 8, 6)  # 8x6, divisible by 2
+    out = resize_box(pix, 2)
+    assert out.shape == (3, 4, 3)
+    for y in range(3):
+        for x in range(4):
+            for c in range(3):
+                block = pix[2 * y : 2 * y + 2, 2 * x : 2 * x + 2, c].astype(int)
+                assert out[y, x, c] == block.sum() // 4
+    with pytest.raises(ValueError):
+        resize_box(synth_ppm_pixels(7, 9, 6), 2)
+
+
+def test_resize_nearest_identity_and_upscale():
+    import numpy as np
+
+    from tcr_kcore_spark.functions.multimodal import resize_nearest, synth_ppm_pixels
+
+    pix = synth_ppm_pixels(3, 5, 4)
+    assert (resize_nearest(pix, 5, 4) == pix).all()  # identity at same dims
+    up = resize_nearest(pix, 10, 8)  # 2x upscale duplicates each pixel
+    assert up.shape == (8, 10, 3)
+    assert (up[::2, ::2] == pix).all() and (up[1::2, 1::2] == pix).all()
+
+
+def test_resize_media_end_to_end(spark):
+    """Spark resize_media output matches a driver-side NumPy re-derivation
+    (decode -> nearest resize -> re-encode) row for row, and the emitted
+    media is itself a valid P6 that decodes back to the resized pixels."""
+    import hashlib
+
+    import numpy as np
+
+    from tcr_kcore_spark.functions.multimodal import (
+        decode_ppm,
+        resize_media,
+        resize_nearest,
+        synth_ppm_media_table,
+        synth_ppm_pixels,
+    )
+
+    media = synth_ppm_media_table(spark, n=12, seed=9)
+    rows = {r["sample_id"]: r for r in resize_media(media, out_w=5, out_h=3).collect()}
+    assert len(rows) == 12
+    for i in range(12):
+        sid = 9 * 1000 + i
+        w, h = 8 + i % 5, 6 + i % 4
+        expect = resize_nearest(synth_ppm_pixels(sid, w, h), 5, 3)
+        r = rows[sid]
+        assert (r["width"], r["height"]) == (5, 3)
+        assert r["checksum"] == hashlib.sha256(expect.tobytes()).hexdigest()[:16]
+        assert (decode_ppm(bytes(r["media"])) == expect).all()
+
+
+def test_resize_media_box_factor(spark):
+    from tcr_kcore_spark.functions.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_box,
+        resize_media,
+        synth_ppm_pixels,
+    )
+    from tcr_kcore_spark.functions.multimodal import MEDIA_SCHEMA
+
+    pix = synth_ppm_pixels(5, 8, 6)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(encode_ppm(pix)), (8, 6, None, None))], MEDIA_SCHEMA
+    )
+    r = resize_media(df, factor=2).collect()[0]
+    assert (r["width"], r["height"]) == (4, 3)
+    assert (decode_ppm(bytes(r["media"])) == resize_box(pix, 2)).all()
