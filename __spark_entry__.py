@@ -2009,6 +2009,39 @@ def _corpus_pagerank_sql(iters: int = CORPUS_PR_ITERS) -> str:
     )
 
 
+def q_scc_corpus(spark, sf_dir):
+    """Strongly connected components of the DIRECTED corpus import graph —
+    circular-import groups, the canonical directed-analytics query on a
+    code-dependency table (the reference's CC symmetrizes; SCC is engine
+    breadth on the same data model).  scc_id = min member id, which the
+    oracle computes CLOSED-FORM (min mutually-reachable id via a recursive
+    reachability CTE) — fully independent of the operator's trim/coloring
+    round structure, so the hash match checks the algorithm, not an
+    unrolled copy of it."""
+    from tcr_kcore_spark.operators.scc import scc
+    from tcr_kcore_spark.sources import corpus_to_edges, synth_corpus
+
+    corpus = synth_corpus(spark, "tiny")
+    edges, _ = corpus_to_edges(corpus)
+    g = LinkGraph(edges, directed=True)
+    out, _ = scc(g)
+    return out
+
+
+def _scc_corpus_sql() -> str:
+    return (
+        "WITH RECURSIVE " + _corpus_cedges_ctes() + ",\n"
+        "cverts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM cedges UNION ALL SELECT dst FROM cedges)),\n"
+        "reach(a, b) AS (SELECT src, dst FROM cedges "
+        "UNION SELECT r.a, e.dst FROM reach r JOIN cedges e ON r.b = e.src),\n"
+        "mutual AS (SELECT r1.a AS id, r1.b AS u FROM reach r1 "
+        "JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a)\n"
+        "SELECT v.id, CAST(coalesce(least(min(m.u), v.id), v.id) AS BIGINT) "
+        "AS scc_id FROM cverts v LEFT JOIN mutual m ON m.id = v.id GROUP BY v.id"
+    )
+
+
 def q_corpus_edges(spark, sf_dir):
     """North_rule ingest pipeline end-to-end: deterministic synthetic corpus
     (repo, path, commit, lang, content) -> vectorized import extraction ->
@@ -2146,6 +2179,7 @@ _EXTRA_QUERIES = {
     "media_features": q_media_features,
     "media_ppm_features": q_media_ppm,
     "media_resize": q_media_resize,
+    "scc_corpus": q_scc_corpus,
 }
 _EXTRA_ORACLES = {
     "jaccard2_pairs": JACCARD2_SQL,
@@ -2168,6 +2202,7 @@ _EXTRA_ORACLES = {
     "media_features": _media_features_sql(),
     "media_ppm_features": _media_ppm_sql(),
     "media_resize": _media_resize_sql(),
+    "scc_corpus": _scc_corpus_sql(),
     "embed_neardup": EMBED_NEARDUP_SQL,
 }
 

@@ -9,6 +9,7 @@ from tcr_kcore_spark.operators.kcore import kcore, kcore_hindex_rounds
 from tcr_kcore_spark.operators.louvain import louvain, louvain_aggregate, louvain_phase1
 from tcr_kcore_spark.operators.lpa import label_propagation
 from tcr_kcore_spark.operators.pagerank import pagerank, personalized_pagerank
+from tcr_kcore_spark.operators.scc import condensation, scc
 from tcr_kcore_spark.operators.sssp import sssp
 from tcr_kcore_spark.operators.triangles import (
     edge_support,
@@ -34,6 +35,8 @@ __all__ = [
     "skipgram_pairs",
     "edge_support",
     "ktruss",
+    "scc",
+    "condensation",
     "sssp",
     "triangle_count",
     "local_clustering_coefficient",

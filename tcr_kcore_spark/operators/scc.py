@@ -1,0 +1,204 @@
+"""Strongly connected components — directed-graph completeness beyond the
+reference's undirected WCC (``TCR/src/demo/ConnectedComponents.py:19-56``).
+
+The corpus dependency graph is DIRECTED (file A imports file B), and its
+canonical directed-analytics query is import-cycle detection: files in a
+nontrivial SCC form a circular-import group.  The reference has no SCC
+operator (its CC demo symmetrizes), so this is pipeline breadth on the
+engine's own data model, mirroring WCC's contract: ``scc_id = min vertex
+id of the component`` — exactly what the closed-form oracle (min mutually
+reachable id, a recursive CTE) computes, independent of round structure.
+
+Algorithm: forward-backward coloring (the MapReduce/Pregel-standard
+FW-BW-MultiPivot shape, e.g. Yan et al., Pregel+ SCC), expressed as two
+HashMin fixpoints per outer round over the live subgraph:
+
+- ``f(v)`` = min id that REACHES v — min-label propagation along edge
+  direction (``l'_dst = min(l_dst, min_src l_src)``), the directed twin of
+  WCC's HashMin with the same frontier pruning;
+- ``b(v)`` = min id REACHABLE FROM v — the same loop on reversed edges.
+
+``f(v) == b(v) == p`` ⇔ p reaches v and v reaches p ⇔ v ∈ SCC(p), and p
+is then the component minimum (any smaller member would propagate a
+smaller label both ways).  Both labels are constant across an SCC, so
+whole components finish together; the globally minimal live vertex always
+satisfies f == b == itself, so every outer round retires ≥ 1 component
+and the loop terminates.  Unassigned vertices continue on the induced
+live subgraph (two anti-join semi-filters — the same compacted-survivor
+rebuild as the k-core peel, A14).
+
+Scale shape: per inner round one edge join + one min-aggregation with
+map-side combine (identical plan to components.py — measured ≥ codegen-
+control scaling); outer rounds = the pivot-chain depth of the condensation
+(small for real graphs; ``max_outer`` guards the adversarial chain).  At
+10^12 files the same trim/multi-pivot refinements as published FW-BW
+variants apply unchanged — each outer round is already whole-subgraph
+parallel, never per-component sequential.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tcr_kcore_spark.graph import LinkGraph
+from tcr_kcore_spark.superstep import (
+    SuperstepStats,
+    propagate_release,
+    release_state,
+    truncate_lineage,
+)
+
+
+def _minprop_fixpoint(
+    edges: DataFrame, verts: DataFrame, stats: SuperstepStats, max_iter: int
+) -> DataFrame:
+    """HashMin fixpoint along edge direction: returns (id, lab) with
+    lab(v) = min({v} ∪ {u : u reaches v via edges}).  Frontier-pruned
+    (only vertices whose label dropped propagate), lineage-truncated per
+    round.  The returned frame is truncated (caller releases)."""
+    state = truncate_lineage(
+        verts.select("id", F.col("id").alias("lab"), F.lit(True).alias("chg"))
+    )
+    for _ in range(max_iter):
+        frontier = state.where("chg").select(F.col("id").alias("src"), "lab")
+        msgs = (
+            edges.join(frontier, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lab").alias("m"))
+        )
+        new = (
+            state.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lab"), F.coalesce(F.col("m"), F.col("lab"))).alias("nl"),
+                "lab",
+            )
+            .select(
+                "id",
+                F.col("nl").alias("lab"),
+                (F.col("nl") < F.col("lab")).alias("chg"),
+            )
+        )
+        new = truncate_lineage(new)
+        stats.supersteps += 1
+        n_chg = new.where("chg").limit(1).count()
+        release_state(state)
+        state = new
+        if n_chg == 0:
+            break
+    return state
+
+
+def scc(
+    graph: LinkGraph, max_outer: int = 64, max_inner: int = 200
+) -> tuple[DataFrame, SuperstepStats]:
+    """Returns ((id, scc_id), stats) on the DIRECTED graph; scc_id = min
+    vertex id of the strongly connected component (singletons map to
+    themselves).  ``stats.outer_rounds`` counts coloring rounds,
+    ``stats.supersteps`` the inner min-propagation rounds."""
+    import time
+
+    stats = SuperstepStats()
+    t0 = time.time()
+    live_e = truncate_lineage(
+        graph.edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    )
+    live_v = truncate_lineage(graph.vertices())
+    acc: DataFrame | None = None
+    n_live = live_v.count()
+
+    def _retire(done: DataFrame, acc: DataFrame | None) -> DataFrame:
+        if acc is None:
+            return done
+        new_acc = truncate_lineage(acc.unionByName(done))
+        release_state(acc)
+        release_state(done)
+        return new_acc
+
+    while n_live > 0 and stats.outer_rounds < max_outer:
+        stats.outer_rounds += 1
+        # -- trim phase: a vertex with no live in-edge or no live out-edge
+        # is on no cycle ⇒ a singleton SCC.  Iterating this peels the
+        # acyclic part (most of a real dependency graph) with two cheap
+        # semi-joins per round — the FW-BW "trim" step — so the expensive
+        # coloring fixpoints only ever run on a subgraph where every
+        # vertex lies on a cycle path (in-deg ≥ 1 AND out-deg ≥ 1).
+        while n_live > 0:
+            keep = truncate_lineage(
+                live_v.join(
+                    live_e.select(F.col("dst").alias("id")).distinct(), "id", "left_semi"
+                ).join(
+                    live_e.select(F.col("src").alias("id")).distinct(), "id", "left_semi"
+                )
+            )
+            n_keep = keep.count()
+            stats.supersteps += 1
+            if n_keep == n_live:
+                release_state(keep)
+                break
+            singles = truncate_lineage(
+                live_v.join(keep, "id", "left_anti").select(
+                    "id", F.col("id").alias("scc_id")
+                )
+            )
+            acc = _retire(singles, acc)
+            new_e = truncate_lineage(
+                live_e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .select("src", "dst")
+            )
+            release_state(live_v)
+            release_state(live_e)
+            live_v, live_e, n_live = keep, new_e, n_keep
+        if n_live == 0:
+            break
+        fwd = _minprop_fixpoint(live_e, live_v, stats, max_inner)
+        rev = live_e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        bwd = _minprop_fixpoint(rev, live_v, stats, max_inner)
+        lab = fwd.select("id", F.col("lab").alias("f")).join(
+            bwd.select("id", F.col("lab").alias("b")), "id"
+        )
+        done = truncate_lineage(
+            lab.where(F.col("f") == F.col("b")).select(
+                "id", F.col("f").alias("scc_id")
+            )
+        )
+        release_state(fwd)
+        release_state(bwd)
+        new_v = truncate_lineage(live_v.join(done, "id", "left_anti"))
+        n_new = new_v.count()
+        if n_new == n_live:
+            raise RuntimeError("scc made no progress (impossible: min live "
+                               "vertex always satisfies f == b)")
+        acc = _retire(done, acc)
+        new_e = truncate_lineage(
+            live_e.join(new_v.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(new_v.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+        release_state(live_v)
+        release_state(live_e)
+        live_v, live_e, n_live = new_v, new_e, n_new
+    release_state(live_v)
+    release_state(live_e)
+    if acc is None:
+        acc = graph.edges.sparkSession.createDataFrame([], "id long, scc_id long")
+    stats.wall_secs = time.time() - t0
+    stats.converged = n_live == 0
+    return propagate_release(acc, acc), stats
+
+
+def condensation(scc_labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """SCC condensation DAG: distinct (src_scc, dst_scc) pairs between
+    DIFFERENT components — two hash joins + distinct.  On the corpus
+    graph this is the acyclic import structure after collapsing each
+    circular-import group."""
+    s = scc_labels
+    return (
+        edges.join(s.select(F.col("id").alias("src"), F.col("scc_id").alias("src_scc")), "src")
+        .join(s.select(F.col("id").alias("dst"), F.col("scc_id").alias("dst_scc")), "dst")
+        .where(F.col("src_scc") != F.col("dst_scc"))
+        .select("src_scc", "dst_scc")
+        .distinct()
+    )

@@ -206,6 +206,9 @@ class SuperstepStats:
     # measured in-block edge fraction of the blocked layout (cascade mode
     # only; -1.0 = not measured) — the prior that seeds the round type
     local_edge_frac: float = -1.0
+    # scc: forward-backward coloring outer rounds (each runs two inner
+    # min-propagation fixpoints; supersteps counts the inner rounds)
+    outer_rounds: int = 0
 
     @property
     def supersteps_per_sec(self) -> float:

@@ -50,6 +50,7 @@ def test_operators_release_to_baseline(spark):
         label_propagation,
         louvain,
         pagerank,
+        scc,
         sssp,
         triangle_count,
     )
@@ -76,6 +77,7 @@ def test_operators_release_to_baseline(spark):
         lambda: label_propagation(g, rounds=2)[0],
         lambda: hits(LinkGraph(g.edges, directed=True), max_iter=3, tol=-1.0)[0],
         lambda: louvain(g, max_levels=3, max_rounds=3, gain_threshold=1e-9)[0],
+        lambda: scc(LinkGraph(g.edges, directed=True))[0],
         lambda: triangles_per_vertex(g),
         lambda: triangle_count(g),
         lambda: local_clustering_coefficient(g),
