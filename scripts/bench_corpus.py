@@ -46,6 +46,21 @@ def main() -> None:
     pr.count()
     pr_secs = round(time.time() - t, 2)
 
+    # directed analytics: circular-import groups (SCC) on the same graph —
+    # trim peels the acyclic bulk, coloring fixpoints settle the cycles
+    from pyspark.sql import functions as F
+
+    from tcr_kcore_spark.operators import scc
+
+    t = time.time()
+    labels, scc_st = scc(g)
+    n_comp, n_multi = labels.agg(
+        F.countDistinct("scc_id"),
+        F.countDistinct(F.when(F.col("scc_id") != F.col("id"), F.col("scc_id"))),
+    ).first()
+    scc_secs = round(time.time() - t, 2)
+    release_state(labels)
+
     # factored representation (A5/D15 counterpart): measure how much of
     # the import graph factors through shared out-sets, and the factored
     # PageRank cost on the same tolerance
@@ -69,6 +84,11 @@ def main() -> None:
         "pagerank_supersteps": st.supersteps,
         "pagerank_converged": st.converged,
         "pagerank_edges_per_sec": round(st.supersteps * n_edges / pr_secs, 0),
+        "scc_secs": scc_secs,
+        "scc_outer_rounds": scc_st.outer_rounds,
+        "scc_supersteps": scc_st.supersteps,
+        "scc_components": n_comp,
+        "scc_nontrivial": n_multi,
         "factored_ratio": round(cg.ratio, 4),
         "compress_secs": compress_secs,
         "pagerank_factored_secs": prf_secs,

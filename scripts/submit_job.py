@@ -25,7 +25,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--algo", default="pagerank",
-                    choices=["pagerank", "components", "kcore", "lpa"])
+                    choices=["pagerank", "components", "kcore", "lpa", "scc"])
     ap.add_argument("--tol", type=float, default=1e-6)
     args = ap.parse_args()
 
@@ -53,6 +53,11 @@ def main() -> None:
         steps = st.supersteps
     elif args.algo == "kcore":
         out, st = kcore(g, mode="hindex")
+        steps = st.supersteps
+    elif args.algo == "scc":
+        from tcr_kcore_spark.operators import scc as scc_op
+
+        out, st = scc_op(LinkGraph(g.edges, directed=True))
         steps = st.supersteps
     else:
         out, st = label_propagation(g, rounds=2)
