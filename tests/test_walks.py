@@ -96,3 +96,22 @@ def test_skipgram_pairs_python_oracle(spark):
                 if si != sj and abs(si - sj) <= 2:
                     want[(c, x)] += 1
     assert got == dict(want)
+
+
+def test_neighbor_index_hub_spans_partitions(spark):
+    """A 500-neighbor hub range-partitioned into 8 parts must still number
+    its neighbors 0..499 in dst order (the boundary-carry path), alongside
+    small srcs whose numbering is local to one partition."""
+    from tcr_kcore_spark.operators.walks import neighbor_index
+    from tcr_kcore_spark.superstep import release_state
+    from tests.conftest import edges_df
+
+    edges = [(7, d) for d in range(500)] + [(3, 901), (3, 902), (950, 1), (950, 5)]
+    idx = neighbor_index(edges_df(spark, edges), n_parts=8)
+    rows = {(r["src"], r["dst"]): r["i"] for r in idx.collect()}
+    assert len(rows) == len(edges)
+    for d in range(500):
+        assert rows[(7, d)] == d
+    assert rows[(3, 901)] == 0 and rows[(3, 902)] == 1
+    assert rows[(950, 1)] == 0 and rows[(950, 5)] == 1
+    release_state(idx)
