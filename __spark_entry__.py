@@ -2042,6 +2042,27 @@ def _scc_corpus_sql() -> str:
     )
 
 
+def q_scc_dedges(spark, sf_dir):
+    """SCC on the directed order→part graph at the harness SF (16k+
+    vertices at sf0.01) — a BIPARTITE digraph, so every SCC is a
+    singleton and the trim phase must peel everything with zero coloring
+    fixpoints.  Adversarial for label bugs: any spurious merger anywhere
+    in the 16k-vertex graph breaks the hash; also pins scc at a second
+    scale beside the 60-file corpus entry."""
+    from tcr_kcore_spark.operators.scc import scc
+
+    g = LinkGraph(order_part_edges(spark, sf_dir), directed=True)
+    out, stats = scc(g)
+    assert stats.outer_rounds == 1, stats.outer_rounds  # trim-only peel
+    return out
+
+
+SCC_DEDGES_SQL = (
+    "WITH " + DEDGES_CTE + ", " + DVERTS_CTE + "\n"
+    "SELECT id, id AS scc_id FROM dverts"
+)
+
+
 def q_corpus_edges(spark, sf_dir):
     """North_rule ingest pipeline end-to-end: deterministic synthetic corpus
     (repo, path, commit, lang, content) -> vectorized import extraction ->
@@ -2180,6 +2201,7 @@ _EXTRA_QUERIES = {
     "media_ppm_features": q_media_ppm,
     "media_resize": q_media_resize,
     "scc_corpus": q_scc_corpus,
+    "scc_dedges": q_scc_dedges,
 }
 _EXTRA_ORACLES = {
     "jaccard2_pairs": JACCARD2_SQL,
@@ -2203,6 +2225,7 @@ _EXTRA_ORACLES = {
     "media_ppm_features": _media_ppm_sql(),
     "media_resize": _media_resize_sql(),
     "scc_corpus": _scc_corpus_sql(),
+    "scc_dedges": SCC_DEDGES_SQL,
     "embed_neardup": EMBED_NEARDUP_SQL,
 }
 

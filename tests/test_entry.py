@@ -122,7 +122,8 @@ NEW_ORACLE = ["jaccard2_pairs", "lang_id", "louvain_p1",
               # round 5: staged-oracle + generator-expectation entries
               "simhash_pairs", "media_ppm_features", "media_resize",
               "ivf_topk", "embed_neardup", "random_walks_l3",
-              "skipgram_w2", "ppr_i8", "ktruss_k12", "scc_corpus"]
+              "skipgram_w2", "ppr_i8", "ktruss_k12", "scc_corpus",
+              "scc_dedges"]
 ROWS_ONLY = ["lsh_topk",
              "lsh_recall", "minhash_recall", "simhash_recall",
              "ivf_recall", "reach2", "reach2_err",
