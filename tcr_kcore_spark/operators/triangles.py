@@ -180,7 +180,11 @@ def ktruss(
     Skew note: the wedge join keys on the lower-id endpoint; the
     degree-ordered orientation triangles_per_vertex uses is the hub-safe
     upgrade if id-order wedges ever skew (same trade documented there)."""
-    from tcr_kcore_spark.superstep import SuperstepStats, truncate_lineage
+    from tcr_kcore_spark.superstep import (
+        SuperstepStats,
+        release_state,
+        truncate_lineage,
+    )
 
     stats = SuperstepStats()
     und = graph.undirected_view()
@@ -190,6 +194,8 @@ def ktruss(
         .distinct()
     )
     cur = truncate_lineage(cur)
+    n_cur = cur.count()
+    stats.actions += 1
     thresh = int(k) - 2
     for _ in range(max_iter):
         sup = edge_support(cur)
@@ -200,13 +206,12 @@ def ktruss(
         )
         nxt = truncate_lineage(nxt)
         stats.supersteps += 1
-        n_cur, n_nxt = cur.count(), nxt.count()
-        stats.actions += 2
+        n_nxt = nxt.count()  # survivor count carries to the next round
+        stats.actions += 1
+        release_state(cur)  # each round's truncated frame is scratch
         cur = nxt
-        if n_nxt == n_cur:
+        if n_nxt == n_cur or n_nxt == 0:
             stats.converged = True
             break
-        if n_nxt == 0:
-            stats.converged = True
-            break
+        n_cur = n_nxt
     return cur, stats

@@ -54,6 +54,8 @@ def test_operators_release_to_baseline(spark):
         sssp,
         triangle_count,
     )
+    from tcr_kcore_spark.functions.sketches import neighborhood_reach
+    from tcr_kcore_spark.operators import ktruss, personalized_pagerank
     from tcr_kcore_spark.operators.triangles import (
         local_clustering_coefficient,
         triangles_per_vertex,
@@ -78,6 +80,9 @@ def test_operators_release_to_baseline(spark):
         lambda: hits(LinkGraph(g.edges, directed=True), max_iter=3, tol=-1.0)[0],
         lambda: louvain(g, max_levels=3, max_rounds=3, gain_threshold=1e-9)[0],
         lambda: scc(LinkGraph(g.edges, directed=True))[0],
+        lambda: personalized_pagerank(g, seeds=[0, 1], tol=1e-4, max_iter=6)[0],
+        lambda: ktruss(g, k=3)[0],
+        lambda: neighborhood_reach(g, hops=2, lg_k=8),
         lambda: triangles_per_vertex(g),
         lambda: triangle_count(g),
         lambda: local_clustering_coefficient(g),
