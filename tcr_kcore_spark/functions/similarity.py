@@ -376,4 +376,9 @@ def lsh_topk(
     )
     sims = cand.select("q", "nbr", _cos(F.col("qe"), F.col("ne")).alias("sim"))
     w = Window.partitionBy("q").orderBy(F.desc("sim"), F.asc("nbr"))
-    return sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+    out = sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+    # the result is a lazy view over the persisted banded corpus — hand the
+    # release handle to the caller (superstep.release_state frees it)
+    from tcr_kcore_spark.superstep import propagate_release
+
+    return propagate_release(out, corpus)
