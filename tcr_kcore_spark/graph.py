@@ -131,7 +131,15 @@ class LinkGraph:
         Reference: vertex set = sorted unique of endpoints
         (``TCR/src/type/Graph.py:192-210``).  Sortedness is irrelevant under
         set semantics; callers sort when they need order.
+
+        For an undirected graph the edge table is the symmetrized closure
+        (the ``directed`` field's contract), so the src column alone covers
+        every endpoint — one distinct over E rows instead of a union over
+        2E (guide §2.3: shuffle fewer bytes; this scan feeds every
+        operator's setup).
         """
+        if not self.directed:
+            return self.edges.select(F.col("src").alias("id")).distinct()
         return (
             self.edges.select(F.col("src").alias("id"))
             .unionByName(self.edges.select(F.col("dst").alias("id")))

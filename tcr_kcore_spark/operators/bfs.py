@@ -40,10 +40,11 @@ def bfs(
     g = graph if (directed is None or directed == graph.directed) else (
         graph.undirected_view() if not directed else graph
     )
-    verts = g.vertices()
+    # one distinct scan for the vertex set (persisted: bcast decision +
+    # init); edge cache materializes inside superstep 1 (no eager count)
+    verts = g.vertices().persist()
     bcast = verts.count() <= broadcast_max_rows()
     edges = plan_superstep_edges(g.edges.select("src", "dst"), bcast).persist()
-    edges.count()
 
     # state: (id, dist, frontier) — frontier = reached exactly last step
     init = verts.select(
@@ -93,4 +94,5 @@ def bfs(
     )
     out = propagate_release(state.select("id", F.col("dist").alias("distance")), state)
     edges.unpersist()
+    verts.unpersist()
     return out, stats

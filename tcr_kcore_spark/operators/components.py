@@ -56,10 +56,12 @@ def _hashmin(
     checkpoint_every: int,
     resume: bool,
 ) -> tuple[DataFrame, SuperstepStats]:
-    verts = g.vertices()
+    # persist the vertex set: it feeds both the bcast decision and the init
+    # state (one distinct scan over E instead of two); the edge cache
+    # materializes inside superstep 1 rather than via an eager pre-count
+    verts = g.vertices().persist()
     bcast = verts.count() <= broadcast_max_rows()
     edges = plan_superstep_edges(g.edges.select("src", "dst"), bcast).persist()
-    edges.count()
     # state: (id, component, changed) — changed doubles as the frontier mask
     init = verts.select("id", F.col("id").alias("component"), F.lit(True).alias("changed"))
 
@@ -105,6 +107,7 @@ def _hashmin(
     )
     out = propagate_release(state.select("id", "component"), state)
     edges.unpersist()
+    verts.unpersist()
     return out, stats
 
 

@@ -31,7 +31,10 @@ def hits(
     """Returns ((id, hub, auth), stats) on the directed graph."""
     spark = graph.edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    verts = graph.vertices()
+    # persist the vertex set: every superstep joins it twice (auth and hub
+    # zero-fill) — unpersisted, each of those joins re-derived the
+    # union+distinct over the whole edge table (2 extra E-scans/superstep)
+    verts = graph.vertices().persist()
     bcast = verts.count() <= broadcast_max_rows()
     # HITS gathers over BOTH orientations per superstep (auth from in-edges,
     # hub from out-edges) — the reference keeps CSR *and* CSC for the same
@@ -40,12 +43,11 @@ def hits(
     # pass ever re-exchanges the E-sized table; under broadcast one copy
     # suffices (the state joins are map-side).
     edges = graph.edges.select("src", "dst").repartition(npart, "src").persist()
-    edges.count()
     if bcast:
         edges_by_dst = edges
     else:
         edges_by_dst = edges.repartition(npart, "dst").persist()
-        edges_by_dst.count()
+    # no eager counts: superstep 1 materializes the caches en route
     init = verts.select(
         "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"), F.lit(1.0).alias("delta")
     )
@@ -143,6 +145,7 @@ def hits(
     out = propagate_release(state.select("id", "hub", "auth"), state)
     _release_held()
     edges.unpersist()
+    verts.unpersist()
     if edges_by_dst is not edges:
         edges_by_dst.unpersist()
     return out, stats

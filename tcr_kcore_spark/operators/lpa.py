@@ -66,10 +66,11 @@ def label_propagation(
     rounds (the reference runs a fixed ``maxsteps``, default 3 from CLI /
     50 in-code — ``LabelPropagation.py:18,79``)."""
     g = graph.undirected_view()
-    verts = g.vertices()
+    # one distinct scan for the vertex set (persisted: bcast decision +
+    # init); edge cache materializes inside round 1 (no eager count)
+    verts = g.vertices().persist()
     bcast = verts.count() <= broadcast_max_rows()
     edges = plan_superstep_edges(g.edges.select("src", "dst"), bcast).persist()
-    edges.count()
     init = verts.select("id", F.col("id").alias("label"))
 
     def step(state: DataFrame, i: int) -> DataFrame:
@@ -86,4 +87,5 @@ def label_propagation(
         resume=resume,
     )
     edges.unpersist()
+    verts.unpersist()
     return propagate_release(state.select("id", "label"), state), stats

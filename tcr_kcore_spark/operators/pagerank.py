@@ -78,7 +78,9 @@ def pagerank(
         .select("src", "dst", (F.lit(damping) / F.col("out_deg")).alias("w")),
         bcast,
     ).persist()
-    edges_w.count()
+    # no eager count: the first superstep materializes the cache en route —
+    # one fewer full pre-loop pass over E (guide §1.2: don't compute what
+    # you throw away)
 
     if dangling:
         dangles = verts.join(
@@ -88,7 +90,9 @@ def pagerank(
     init = verts.select("id", F.lit(1.0).alias("rank"))
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        s = state.withColumnRenamed("id", "src")
+        # only (src, rank) crosses to the message join — the state's delta
+        # column from the previous step stays out of the broadcast
+        s = state.select(F.col("id").alias("src"), "rank")
         msgs = (
             edges_w.join(state_side(s, bcast), "src")
             .groupBy(F.col("dst").alias("id"))
@@ -109,17 +113,15 @@ def pagerank(
             )
         else:
             new_rank = base + F.coalesce(F.col("msg"), F.lit(0.0))
+        # apply via ONE outer join: the state already has exactly one row
+        # per vertex, so joining state ⟕ msgs yields both the new rank and
+        # the old rank for the delta — r5 joined verts ⟕ msgs and then
+        # state again (two joins + an extra broadcast build per superstep)
         msgs_b = F.broadcast(msgs) if bcast else msgs
-        state_b = F.broadcast(state) if bcast else state
-        return (
-            verts.join(msgs_b, "id", "left")
-            .select("id", new_rank.alias("new_rank"))
-            .join(state_b, "id")
-            .select(
-                "id",
-                F.col("new_rank").alias("rank"),
-                F.abs(F.col("new_rank") - F.col("rank")).alias("delta"),
-            )
+        return state.join(msgs_b, "id", "left").select(
+            "id",
+            (new_rank).alias("rank"),
+            F.abs(new_rank - F.col("rank")).alias("delta"),
         )
 
     def converged(prev: DataFrame, new: DataFrame, i: int) -> bool:
@@ -210,12 +212,14 @@ def personalized_pagerank(
         .select("src", "dst", (F.lit(damping) / F.col("out_deg")).alias("w")),
         bcast,
     ).persist()
-    edges_w.count()
+    # no eager count — first superstep materializes the cache (see pagerank)
 
-    init = verts_p.select("id", F.col("p").alias("rank"))
+    # carry the reset probability in the state so the apply phase is ONE
+    # outer join (state ⟕ msgs) instead of verts_p ⟕ msgs ⋈ state
+    init = verts_p.select("id", "p", F.col("p").alias("rank"))
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        s = state.withColumnRenamed("id", "src")
+        s = state.select(F.col("id").alias("src"), "rank")
         msgs = (
             edges_w.join(state_side(s, bcast), "src")
             .groupBy(F.col("dst").alias("id"))
@@ -225,16 +229,11 @@ def personalized_pagerank(
             F.col("msg"), F.lit(0.0)
         )
         msgs_b = F.broadcast(msgs) if bcast else msgs
-        state_b = F.broadcast(state) if bcast else state
-        return (
-            verts_p.join(msgs_b, "id", "left")
-            .select("id", new_rank.alias("new_rank"))
-            .join(state_b, "id")
-            .select(
-                "id",
-                F.col("new_rank").alias("rank"),
-                F.abs(F.col("new_rank") - F.col("rank")).alias("delta"),
-            )
+        return state.join(msgs_b, "id", "left").select(
+            "id",
+            "p",
+            new_rank.alias("rank"),
+            F.abs(new_rank - F.col("rank")).alias("delta"),
         )
 
     def converged(prev: DataFrame, new: DataFrame, i: int) -> bool:

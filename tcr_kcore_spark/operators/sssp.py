@@ -38,10 +38,11 @@ def sssp(
         )
     else:
         edges = graph.edges.select(*cols, F.lit(1.0).alias("w"))
-    verts = graph.vertices()
+    # one distinct scan for the vertex set (persisted: bcast decision +
+    # init); edge cache materializes inside superstep 1 (no eager count)
+    verts = graph.vertices().persist()
     bcast = verts.count() <= broadcast_max_rows()
     edges = plan_superstep_edges(edges, bcast).persist()
-    edges.count()
 
     init = verts.select(
         "id",
@@ -97,4 +98,5 @@ def sssp(
     )
     out = propagate_release(state.select("id", F.col("dist").alias("distance")), state)
     edges.unpersist()
+    verts.unpersist()
     return out, stats
