@@ -83,7 +83,9 @@ def plan_kcore_exact(spark):
 def plan_pagerank_step_operator(spark):
     """One superstep's plan as the OPERATOR currently builds it (uses the
     module's step closure via a 1-iteration probe with explain hook)."""
-    from tcr_kcore_spark.operators import pagerank as pr_mod
+    import importlib
+
+    pr_mod = importlib.import_module("tcr_kcore_spark.operators.pagerank")
 
     g = _graph(spark)
     plans = []
@@ -148,13 +150,6 @@ def plan_lpa_round(spark):
 
     g = _graph(spark)
     return _capture_operator_step(spark, lambda: label_propagation(g, rounds=1))
-
-
-def plan_hindex_step_operator(spark):
-    from tcr_kcore_spark.operators import kcore_hindex_rounds
-
-    g = _graph(spark)
-    return _capture_operator_step(spark, lambda: kcore_hindex_rounds(g, 1))
 
 
 def plan_triangles(spark):
@@ -259,7 +254,6 @@ UNITS = {
     "components_step": plan_components_step,
     "bfs_step": plan_bfs_step,
     "lpa_round": plan_lpa_round,
-    "hindex_step_operator": plan_hindex_step_operator,
     "triangles": plan_triangles,
     "ktruss_support": plan_ktruss_support,
     "scc_minprop_round": plan_scc_minprop_round,

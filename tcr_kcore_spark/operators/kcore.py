@@ -300,11 +300,11 @@ def _hindex(
     ):
         stats = SuperstepStats()
         t0 = time.time()
-        kernel = _bz_finish_kernel(k_floor=0)
         local = (
             g.edges.select("src", "dst")
-            .groupBy(F.lit(1).alias("__g"))
-            .applyInPandas(kernel, "id long, coreness long")
+            .where(F.col("src") < F.col("dst"))  # one row per undirected edge
+            .coalesce(1)  # no shuffle: the one task reads the cache directly
+            .mapInArrow(_bz_layered_arrow(), "id long, coreness long")
         )
         out = truncate_lineage(local)
         stats.actions += 2  # the planning agg + the kernel materialization
@@ -413,6 +413,90 @@ def kcore_hindex_rounds(
 # ---------------------------------------------------------------------------
 # exact peel (reference-faithful path)
 # ---------------------------------------------------------------------------
+
+
+def _layered_bz_arrays(src, dst):
+    """Vectorized whole-graph exact coreness over symmetric NumPy edge
+    arrays: the layered ("parallel") Batagelj–Zaveršnik peel.  Instead of
+    the serial process-one-vertex-at-a-time loop of ``_bz_finish_kernel``
+    (pure-Python over every adjacency entry, measured ~1.1M edges/s), each
+    inner step peels the WHOLE ``deg ≤ k`` frontier at once with NumPy
+    gathers: the frontier's adjacency slices are concatenated via
+    repeat/cumsum, decrements land via ``bincount``, and ``k`` jumps to
+    the minimum remaining degree between levels.  Every adjacency entry is
+    gathered exactly once over the run (when its source peels), so total
+    work is O(E) vectorized + O(#levels) small steps.  Returns
+    (ids, coreness)."""
+    import numpy as np
+
+    ids, s = np.unique(src, return_inverse=True)  # symmetric: src covers all
+    d = np.searchsorted(ids, dst)
+    n = ids.shape[0]
+    deg = np.bincount(s, minlength=n).astype(np.int64)
+    row_ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=row_ptr[1:])
+    order = np.argsort(s, kind="stable")
+    adj = d[order]
+    alive = np.ones(n, dtype=bool)
+    core = np.zeros(n, dtype=np.int64)
+    cur = deg.copy()
+    k = 0
+    n_alive = n
+    while n_alive:
+        mn = int(cur[alive].min())
+        if mn > k:
+            k = mn
+        frontier = np.flatnonzero(alive & (cur <= k))
+        while frontier.size:
+            core[frontier] = k
+            alive[frontier] = False
+            n_alive -= frontier.size
+            lens = row_ptr[frontier + 1] - row_ptr[frontier]
+            total = int(lens.sum())
+            if total:
+                stops = np.cumsum(lens)
+                idx = np.repeat(
+                    row_ptr[frontier] - (stops - lens), lens
+                ) + np.arange(total, dtype=np.int64)
+                t = adj[idx]
+                t = t[alive[t]]
+                if t.size:
+                    cur -= np.bincount(t, minlength=n)
+            frontier = np.flatnonzero(alive & (cur <= k))
+    return ids, core
+
+
+def _bz_layered_arrow():
+    """mapInArrow kernel wrapping :func:`_layered_bz_arrays` for the
+    hindex-mode whole-graph local finish.  The caller ships each
+    undirected edge ONCE (canonical src < dst — half the boundary bytes,
+    guide §2.3) and the symmetric closure is rebuilt here with two O(E)
+    concats; Arrow batches decode straight to NumPy (no pandas round-trip,
+    guide §4.2)."""
+
+    def kernel(batch_iter):
+        import numpy as np
+        import pyarrow as pa
+
+        srcs, dsts = [], []
+        for batch in batch_iter:
+            srcs.append(batch.column(0).to_numpy(zero_copy_only=False))
+            dsts.append(batch.column(1).to_numpy(zero_copy_only=False))
+        if not srcs:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([], type=pa.int64()), pa.array([], type=pa.int64())],
+                ["id", "coreness"],
+            )
+            return
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+        ids, core = _layered_bz_arrays(src, dst)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids), pa.array(core)], ["id", "coreness"]
+        )
+
+    return kernel
 
 
 def _bz_finish_kernel(k_floor: int):

@@ -145,24 +145,61 @@ def local_clustering_coefficient(g: LinkGraph) -> DataFrame:
 
 def edge_support(edges_canon: DataFrame) -> DataFrame:
     """(a, b, support): triangles through each canonical (a < b) edge of
-    an undirected edge set given in canonical form.  Triangles are
-    enumerated once in id order (x < y < z: (x,y) ⋈ (x,z) wedge closed by
-    (y,z)) and each triangle credits its three edges — the per-edge analog
-    of triangles_per_vertex's per-vertex credit."""
+    an undirected edge set given in canonical form (edges in no triangle
+    are absent — callers outer-join + coalesce 0).
+
+    r6: wedges are oriented by (degree, id) — the same hub-safe total
+    order ``triangles_per_vertex`` uses — instead of the r5 id order.  In
+    id order a degree-d hub whose id is locally minimal owns ~d²/2 wedge
+    rows on ONE join key (the deg² blowup the r5 verdict flagged); with
+    degree ordering the per-vertex wedge fan-out is bounded by the
+    oriented out-degree ≤ O(√E).  Each triangle is still enumerated
+    exactly once (its (degree, id)-minimal corner is the wedge apex) and
+    credits its three canonical edges.
+
+    The oriented table is derived lazily from ``edges_canon`` (expected to
+    be a materialized/cached frame): the three consumers (two wedge legs,
+    the closing probe) each re-derive one broadcast-join pass over it —
+    cheap next to the wedge join itself."""
     e = edges_canon.select(F.col("a"), F.col("b"))
-    w = (
-        e.alias("p")
-        .join(e.alias("q"), F.col("p.a") == F.col("q.a"))
-        .where(F.col("p.b") < F.col("q.b"))
-        .select(F.col("p.a").alias("x"), F.col("p.b").alias("y"), F.col("q.b").alias("z"))
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
     )
+    ed = e.join(
+        deg.select(F.col("id").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("id").alias("b"), F.col("d").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    # oriented src -> dst with (deg, id) key of dst kept for leg ordering
+    o = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    )
+    w = (
+        o.alias("p")
+        .join(o.alias("q"), F.col("p.src") == F.col("q.src"))
+        .where(
+            (F.col("p.dd") < F.col("q.dd"))
+            | ((F.col("p.dd") == F.col("q.dd")) & (F.col("p.dst") < F.col("q.dst")))
+        )
+        .select(
+            F.col("p.src").alias("x"), F.col("p.dst").alias("y"), F.col("q.dst").alias("z")
+        )
+    )
+    # the closing edge y–z is oriented exactly y -> z in o (legs follow the
+    # same (deg, id) total order the orientation uses): one probe direction
     tri = w.join(
-        e.select(F.col("a").alias("y"), F.col("b").alias("z")), ["y", "z"], "left_semi"
+        o.select(F.col("src").alias("y"), F.col("dst").alias("z")), ["y", "z"], "left_semi"
     )
     credits = (
-        tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
-        .unionByName(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
-        .unionByName(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+        tri.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .unionByName(tri.select(F.least("x", "z").alias("a"), F.greatest("x", "z").alias("b")))
+        .unionByName(tri.select(F.least("y", "z").alias("a"), F.greatest("y", "z").alias("b")))
     )
     return credits.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
 
@@ -171,21 +208,34 @@ def ktruss(
     graph: LinkGraph, k: int, max_iter: int = 1000
 ) -> tuple[DataFrame, "SuperstepStats"]:
     """(a, b) edges of the k-truss: the maximal subgraph in which every
-    edge participates in ≥ k−2 triangles (triangles recounted INSIDE the
-    surviving subgraph each round — the edge-peeling analog of the k-core
-    vertex peel, D4).  Canonical a < b rows; vertices drop out implicitly
-    with their last edge.  Each round is one triangle enumeration + one
-    anti-filter, lineage-truncated; rounds are monotone (edges only leave)
-    so a fixed-round unrolling is a valid oracle once past the fixpoint.
-    Skew note: the wedge join keys on the lower-id endpoint; the
-    degree-ordered orientation triangles_per_vertex uses is the hub-safe
-    upgrade if id-order wedges ever skew (same trade documented there)."""
+    edge participates in ≥ k−2 triangles of that subgraph — the
+    edge-peeling analog of the k-core vertex peel (D4).  Canonical a < b
+    rows; vertices drop out implicitly with their last edge.
+
+    r6 (the r5 verdict's #1 ask): triangles are enumerated in FULL exactly
+    once (degree-ordered hub-safe wedges — see edge_support); every later
+    round only enumerates the triangles LOST with that round's dropped
+    edges and decrements the survivors' support — the same
+    count-once-then-decrement pattern as the k-core peel (reference
+    ``KCore_new_v3.py:68-69``).  Lost triangles are found by expanding
+    each dropped edge from its LOWER-degree endpoint (fan-out bounded by
+    min-degree, never hub-degree), closing against the survivor+dropped
+    adjacency, and deduping by the sorted vertex triple (a triangle lost
+    through two dropped edges is found twice, must decrement once).
+    Per-round dropped-edge sets are identical to the full-recount loop
+    (support of every survivor equals its in-subgraph triangle count by
+    induction), so the unrolled full-recount SQL oracle still matches
+    round for round.  SPARK_GRAFT_KTRUSS_INCREMENTAL=0 restores the r5
+    full-recount rounds (A/B evidence)."""
+    import os
+
     from tcr_kcore_spark.superstep import (
         SuperstepStats,
         release_state,
         truncate_lineage,
     )
 
+    incremental = os.environ.get("SPARK_GRAFT_KTRUSS_INCREMENTAL", "1") != "0"
     stats = SuperstepStats()
     und = graph.undirected_view()
     cur = (
@@ -197,21 +247,98 @@ def ktruss(
     n_cur = cur.count()
     stats.actions += 1
     thresh = int(k) - 2
-    for _ in range(max_iter):
-        sup = edge_support(cur)
-        nxt = (
-            cur.join(sup, ["a", "b"], "left")
-            .where(F.coalesce(F.col("support"), F.lit(0)) >= thresh)
-            .select("a", "b")
+
+    if not incremental:
+        for _ in range(max_iter):
+            sup = edge_support(cur)
+            nxt = (
+                cur.join(sup, ["a", "b"], "left")
+                .where(F.coalesce(F.col("support"), F.lit(0)) >= thresh)
+                .select("a", "b")
+            )
+            nxt = truncate_lineage(nxt)
+            stats.supersteps += 1
+            n_nxt = nxt.count()  # survivor count carries to the next round
+            stats.actions += 1
+            release_state(cur)  # each round's truncated frame is scratch
+            cur = nxt
+            if n_nxt == n_cur or n_nxt == 0:
+                stats.converged = True
+                break
+            n_cur = n_nxt
+        return cur, stats
+
+    # -- incremental path: (a, b, support) state, counted once ------------
+    sup = truncate_lineage(
+        cur.join(edge_support(cur), ["a", "b"], "left").select(
+            "a", "b", F.coalesce(F.col("support"), F.lit(0)).alias("support")
         )
-        nxt = truncate_lineage(nxt)
-        stats.supersteps += 1
-        n_nxt = nxt.count()  # survivor count carries to the next round
+    )
+    stats.supersteps += 1
+    stats.actions += 1
+    release_state(cur)
+    for _ in range(max_iter):
+        drop = sup.where(F.col("support") < thresh).select("a", "b").persist()
+        n_drop = drop.count()
         stats.actions += 1
-        release_state(cur)  # each round's truncated frame is scratch
-        cur = nxt
-        if n_nxt == n_cur or n_nxt == 0:
+        if n_drop == 0:
+            out = truncate_lineage(sup.select("a", "b"))
+            release_state(sup)
+            drop.unpersist()
             stats.converged = True
-            break
-        n_cur = n_nxt
-    return cur, stats
+            return out, stats
+        survivors = sup.where(F.col("support") >= thresh)
+        # adjacency of the CURRENT graph (dropped edges included: a lost
+        # triangle may have its other corners joined through them)
+        nbrs = sup.select(F.col("a").alias("u"), F.col("b").alias("w")).unionByName(
+            sup.select(F.col("b").alias("u"), F.col("a").alias("w"))
+        )
+        degs = nbrs.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        d2 = drop.join(
+            degs.select(F.col("u").alias("a"), F.col("d").alias("da")), "a"
+        ).join(degs.select(F.col("u").alias("b"), F.col("d").alias("db")), "b")
+        exp = d2.select(
+            F.when(F.col("da") <= F.col("db"), F.col("a")).otherwise(F.col("b")).alias("p"),
+            F.when(F.col("da") <= F.col("db"), F.col("b")).otherwise(F.col("a")).alias("q"),
+        )
+        cand = (
+            exp.join(nbrs.select(F.col("u").alias("p"), F.col("w").alias("c")), "p")
+            .where(F.col("c") != F.col("q"))
+        )
+        closed = cand.join(
+            nbrs.select(F.col("u").alias("q"), F.col("w").alias("c")),
+            ["q", "c"],
+            "left_semi",
+        )
+        # dedup lost triangles by sorted triple (found once per dropped edge)
+        tri = (
+            closed.select(
+                F.array_sort(F.array("p", "q", "c")).alias("t")
+            )
+            .select(
+                F.col("t")[0].alias("x"), F.col("t")[1].alias("y"), F.col("t")[2].alias("z")
+            )
+            .distinct()
+        )
+        decs = (
+            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .unionByName(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+            .unionByName(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("dec"))
+        )
+        new_sup = truncate_lineage(
+            survivors.join(decs, ["a", "b"], "left").select(
+                "a",
+                "b",
+                (F.col("support") - F.coalesce(F.col("dec"), F.lit(0))).alias("support"),
+            )
+        )
+        stats.supersteps += 1
+        stats.actions += 1
+        release_state(sup)
+        drop.unpersist()
+        sup = new_sup
+    out = truncate_lineage(sup.select("a", "b"))
+    release_state(sup)
+    return out, stats

@@ -334,3 +334,41 @@ def test_peel_checkpoint_resume_identical(spark, tmp_path):
     assert st2.resumed_from is not None and st2.resumed_from >= 2
     got = {r["id"]: r["coreness"] for r in resumed.collect()}
     assert got == want
+
+
+def test_hindex_local_fast_path_matches_distributed(spark):
+    """r6: the whole-graph layered-BZ local finish (fires when the graph
+    fits the phase-2 caps) must equal the distributed h-index fixpoint
+    exactly — same physical-plan-choice contract as the peel finisher."""
+    edges = oracles.er_graph(n=300, avg_deg=10, seed=3)
+    g = LinkGraph.from_edges(edges_df(spark, edges), directed=False)
+    fast, st_fast = kcore(g, mode="hindex")  # default caps -> local kernel
+    assert st_fast.local_finish_secs > 0 and st_fast.supersteps == 1
+    slow, st_slow = kcore(g, mode="hindex", local_finish_vertices=0)
+    assert st_slow.supersteps > 1 and st_slow.local_finish_secs == 0.0
+    got_fast = {r["id"]: r["coreness"] for r in fast.collect()}
+    got_slow = {r["id"]: r["coreness"] for r in slow.collect()}
+    assert got_fast == got_slow == oracles.coreness(edges)
+
+
+def test_layered_bz_arrays_matches_oracle():
+    """NumPy-level property test of the r6 layered BZ kernel (no Spark):
+    random graphs + a deep path (many frontier levels)."""
+    import numpy as np
+
+    from tcr_kcore_spark.operators.kcore import _layered_bz_arrays
+
+    rng = np.random.default_rng(11)
+    cases = [oracles.er_graph(n=200, avg_deg=7, seed=s) for s in (1, 2, 3)]
+    cases.append(oracles.zipf_hub_graph(n=300, m=1500, seed=5))
+    cases.append([(i, i + 1) for i in range(500)])  # path: V/2 levels
+    for edges in cases:
+        want = oracles.coreness(edges)
+        # the engine's data model: symmetrized, DEDUPED, loop-free edges
+        canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+        a = np.array([e[0] for e in canon], dtype=np.int64)
+        b = np.array([e[1] for e in canon], dtype=np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        ids, core = _layered_bz_arrays(src, dst)
+        assert dict(zip(ids.tolist(), core.tolist())) == want
