@@ -59,7 +59,11 @@ def _minprop_fixpoint(
     round.  The returned frame is truncated (caller releases).
 
     r6: each round chains one edge-hop with one SHORTCUT —
-    ``lab ← min(lab, lab(lab))`` (pointer jumping).  The shortcut is sound
+    ``lab ← min(lab, lab(lab))`` (pointer jumping).  (A second jump per
+    round was measured on the 100k-file corpus and reverted: round counts
+    were IDENTICAL — the residual rounds are wavefront-limited, not
+    chain-limited — while each round paid an extra V ⋈ V join.)
+    The shortcut is sound
     because the invariant "lab(v) is an id that reaches v" is preserved by
     both steps (if u = lab(v) reaches v and w = lab(u) reaches u then w
     reaches v), and at the hashmin fixpoint the shortcut is a no-op
@@ -79,6 +83,20 @@ def _minprop_fixpoint(
     r6 (ADVICE #1): the returned flag reports whether n_chg reached 0;
     exiting via ``max_iter`` with changes outstanding means the labels are
     NOT the reachability minima and must not be used for retirement."""
+    def _shortcut(cur):
+        """lab ← min(lab, lab(lab)) — one V ⋈ V pointer jump.  ``cur`` is
+        (id, lab, prev); consumed twice, so callers persist it (lazily —
+        the whole round still runs as one job)."""
+        return cur.join(
+            cur.select(F.col("id").alias("lab"), F.col("lab").alias("l2")),
+            "lab",
+            "left",
+        ).select(
+            "id",
+            F.least(F.col("lab"), F.coalesce(F.col("l2"), F.col("lab"))).alias("lab"),
+            "prev",
+        )
+
     state = truncate_lineage(
         verts.select("id", F.col("id").alias("lab"), F.lit(True).alias("chg"))
     )
@@ -94,29 +112,18 @@ def _minprop_fixpoint(
             state.join(msgs, "id", "left")
             .select(
                 "id",
-                F.least(F.col("lab"), F.coalesce(F.col("m"), F.col("lab"))).alias("hl"),
-                "lab",
+                F.least(F.col("lab"), F.coalesce(F.col("m"), F.col("lab"))).alias(
+                    "lab"
+                ),
+                F.col("lab").alias("prev"),
             )
-            .persist()  # lazy: consumed twice below inside ONE truncation job
+            .persist()  # lazy: two consumers inside the one truncation job
         )
-        new = (
-            hop.join(
-                hop.select(F.col("id").alias("hl"), F.col("hl").alias("l2")),
-                "hl",
-                "left",
-            )
-            .select(
-                "id",
-                F.least(F.col("hl"), F.coalesce(F.col("l2"), F.col("hl"))).alias("nl"),
-                "lab",
-            )
-            .select(
-                "id",
-                F.col("nl").alias("lab"),
-                (F.col("nl") < F.col("lab")).alias("chg"),
+        new = truncate_lineage(
+            _shortcut(hop).select(
+                "id", "lab", (F.col("lab") < F.col("prev")).alias("chg")
             )
         )
-        new = truncate_lineage(new)
         hop.unpersist()
         stats.supersteps += 1
         n_chg = new.where("chg").limit(1).count()
@@ -159,9 +166,14 @@ def scc(
         # -- trim phase: a vertex with no live in-edge or no live out-edge
         # is on no cycle ⇒ a singleton SCC.  Iterating this peels the
         # acyclic part (most of a real dependency graph) with two cheap
-        # semi-joins per round — the FW-BW "trim" step — so the expensive
+        # semi-joins per level — the FW-BW "trim" step — so the expensive
         # coloring fixpoints only ever run on a subgraph where every
         # vertex lies on a cycle path (in-deg ≥ 1 AND out-deg ≥ 1).
+        # (r6 note: chaining several trim levels lazily into one job was
+        # tried and reverted — the keep/edge frames reference each other
+        # twice per level, and racing AQE stages re-evaluate the lazily
+        # persisted intermediates, blowing the work up exponentially with
+        # chain depth.  One eager truncation per level stays.)
         while n_live > 0:
             keep = truncate_lineage(
                 live_v.join(
