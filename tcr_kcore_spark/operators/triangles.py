@@ -54,10 +54,15 @@ def triangles_per_vertex(g: LinkGraph) -> DataFrame:
 
     Returns a MATERIALIZED (lineage-truncated) frame; callers that want the
     cached blocks back call ``superstep.release_state`` on the result."""
+    from tcr_kcore_spark.plans.partitioning import broadcast_max_rows
     from tcr_kcore_spark.superstep import truncate_lineage
 
     o = _oriented(g).persist()
-    o.count()
+    # r6: no eager o.count() — the count's only role was feeding the
+    # planner accurate stats for the wedge-join strategy, but the cache
+    # materializes inside the first consuming stage anyway and AQE decides
+    # the joins from runtime stage stats; the extra full pass measured ~2 s
+    # of the sf0.1 cell (interleaved A/B, 3 passes)
     # wedges centered at the oriented source, legs ordered by the SAME
     # (degree, id) total order the orientation uses — so the closing edge
     # u→v is oriented exactly that way in O and ONE probe direction
@@ -96,17 +101,22 @@ def triangles_per_vertex(g: LinkGraph) -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    out = (
-        g.undirected_view()
-        .vertices()
-        .join(per_vertex, "id", "left")
-        .select("id", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"))
+    # the zero-fill join: per_vertex has at most V rows, so under the same
+    # V-row regime every superstep operator uses (broadcast_max_rows) it
+    # broadcasts — the planner otherwise picks a SortMergeJoin with two
+    # exchanges + sorts for this tiny final join (~2 s of the sf0.1 cell)
+    verts = g.undirected_view().vertices().persist()
+    if verts.count() <= broadcast_max_rows():
+        per_vertex = F.broadcast(per_vertex)
+    out = verts.join(per_vertex, "id", "left").select(
+        "id", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles")
     )
-    # materialize, then free BOTH scratch caches — round 2 leaked o and
+    # materialize, then free the scratch caches — round 2 leaked o and
     # tris for the lifetime of the session
     out = truncate_lineage(out)
     tris.unpersist()
     o.unpersist()
+    verts.unpersist()
     return out
 
 
