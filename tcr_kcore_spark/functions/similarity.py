@@ -372,9 +372,17 @@ def lsh_topk(
         )
         .where(F.col("q") != F.col("nbr"))
         .select("q", F.col("v").alias("qe"), "nbr", "ne")
-        .dropDuplicates(["q", "nbr"])
     )
-    sims = cand.select("q", "nbr", _cos(F.col("qe"), F.col("ne")).alias("sim"))
+    # score THEN dedup (the lsh_neardup_pairs pattern, r6): a pair sharing
+    # j bands is scored j ≤ bands times (identical cheap JVM dots), and the
+    # dedup becomes a HashAggregate over (q, nbr, sim) scalars — the r5
+    # dropDuplicates dragged both dim-length vectors through a shuffle per
+    # candidate instead
+    sims = (
+        cand.select("q", "nbr", _cos(F.col("qe"), F.col("ne")).alias("sim"))
+        .groupBy("q", "nbr")
+        .agg(F.max("sim").alias("sim"))
+    )
     w = Window.partitionBy("q").orderBy(F.desc("sim"), F.asc("nbr"))
     out = sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
     # the result is a lazy view over the persisted banded corpus — hand the

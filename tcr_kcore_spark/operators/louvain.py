@@ -113,11 +113,13 @@ def louvain_phase1(
         e = g.edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
     else:
         e = g.edges.select("src", "dst", F.lit(1.0).alias("w"))
-    verts = g.vertices()
+    # persist the vertex set (bcast decision + init — one distinct scan);
+    # no eager edge count: the m aggregation right below materializes the
+    # edge cache as its first consumer
+    verts = g.vertices().persist()
     bcast = verts.count() <= broadcast_max_rows()
     maybe_b = lambda df: state_side(df, bcast)
     edges = plan_superstep_edges(e, bcast).persist()
-    edges.count()
 
     # m = sum of symmetric-table entry weights (reference Louvain.py:30)
     m = edges.agg(F.sum("w")).first()[0]
@@ -198,6 +200,7 @@ def louvain_phase1(
     )
     out = propagate_release(state.select("id", F.col("comm").alias("community")), state)
     edges.unpersist()
+    verts.unpersist()
     return out, stats
 
 
