@@ -153,14 +153,16 @@ def plan_lpa_round(spark):
 
 
 def plan_triangles(spark):
-    """The full lazy triangle plan (pre-truncation)."""
+    """The full lazy triangle plan (pre-truncation), mirroring
+    triangles_per_vertex's CURRENT shape (r6: no eager o.count, broadcast
+    zero-fill under the V-row regime)."""
     from pyspark.sql import functions as F
 
     from tcr_kcore_spark.operators.triangles import _oriented
+    from tcr_kcore_spark.plans.partitioning import broadcast_max_rows
 
     g = _graph(spark)
     o = _oriented(g).persist()
-    o.count()
     w = (
         o.alias("a")
         .join(o.alias("b"), F.col("a.src") == F.col("b.src"))
@@ -183,11 +185,11 @@ def plan_triangles(spark):
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    out = (
-        g.undirected_view()
-        .vertices()
-        .join(per_vertex, "id", "left")
-        .select("id", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"))
+    verts = g.undirected_view().vertices().persist()
+    if verts.count() <= broadcast_max_rows():
+        per_vertex = F.broadcast(per_vertex)
+    out = verts.join(per_vertex, "id", "left").select(
+        "id", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles")
     )
     return _explain_str(out)
 
