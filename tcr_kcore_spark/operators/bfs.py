@@ -22,7 +22,12 @@ from tcr_kcore_spark.plans.partitioning import (
     plan_superstep_edges,
     state_side,
 )
-from tcr_kcore_spark.superstep import SuperstepStats, propagate_release, run_supersteps
+from tcr_kcore_spark.superstep import (
+    ObservedConvergence,
+    SuperstepStats,
+    propagate_release,
+    run_supersteps,
+)
 
 
 def bfs(
@@ -62,7 +67,7 @@ def bfs(
             .distinct()
             .withColumn("hit", F.lit(True))
         )
-        return (
+        out = (
             state.join(F.broadcast(reached) if bcast else reached, "id", "left")
             .select(
                 "id",
@@ -78,8 +83,15 @@ def bfs(
                 (F.col("new_dist").isNotNull() & F.col("dist").isNull()).alias("frontier"),
             )
         )
+        # frontier size collected during the materialization job (r6)
+        return oc.attach(out, F.sum(F.col("frontier").cast("long")).alias("n"))
+
+    oc = ObservedConvergence()
 
     def converged(prev: DataFrame, new: DataFrame, i: int) -> bool:
+        row = oc.take()
+        if row is not None:
+            return (row["n"] or 0) == 0
         return new.where("frontier").limit(1).count() == 0
 
     state, stats = run_supersteps(

@@ -29,7 +29,12 @@ from tcr_kcore_spark.plans.partitioning import (
     plan_superstep_edges,
     state_side,
 )
-from tcr_kcore_spark.superstep import SuperstepStats, propagate_release, run_supersteps
+from tcr_kcore_spark.superstep import (
+    ObservedConvergence,
+    SuperstepStats,
+    propagate_release,
+    run_supersteps,
+)
 
 
 def connected_components(
@@ -76,7 +81,7 @@ def _hashmin(
             .agg(F.min("component").alias("msg"))
         )
         msgs_b = F.broadcast(msgs) if bcast else msgs
-        return (
+        out = (
             state.join(msgs_b, "id", "left")
             .select(
                 "id",
@@ -91,8 +96,16 @@ def _hashmin(
                 (F.col("new_component") < F.col("component")).alias("changed"),
             )
         )
+        # changed-count collected during the materialization job (r6) —
+        # no separate per-round count action
+        return oc.attach(out, F.sum(F.col("changed").cast("long")).alias("n"))
+
+    oc = ObservedConvergence()
 
     def converged(prev: DataFrame, new: DataFrame, i: int) -> bool:
+        row = oc.take()
+        if row is not None:
+            return (row["n"] or 0) == 0
         return new.where("changed").limit(1).count() == 0
 
     state, stats = run_supersteps(

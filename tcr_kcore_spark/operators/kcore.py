@@ -47,6 +47,7 @@ from tcr_kcore_spark.plans.partitioning import (
 )
 from tcr_kcore_spark.superstep import (
     checkpoint_block,
+    ObservedConvergence,
     propagate_release,
     SuperstepStats,
     release_state,
@@ -331,17 +332,22 @@ def _hindex(
     # round (threshold rationale + measured changed-fraction trajectory
     # at the constant's definition above).
     last_changed = {"n": None}
+    oc = ObservedConvergence()
 
     def step(state: DataFrame, i: int) -> DataFrame:
         n = last_changed["n"]
         prune = i > 0 and n is not None and n < _PRUNE_MAX_CHANGED_FRAC * n_verts
         changed = state.where("changed").select("id") if prune else None
-        return _hindex_round(
+        out = _hindex_round(
             edges, state.select("id", "est"), changed, bcast, hub_safe
         )
+        # changed-count collected during the materialization job (r6) —
+        # it feeds both convergence and the delta-pruning decision
+        return oc.attach(out, F.sum(F.col("changed").cast("long")).alias("n"))
 
     def converged(prev: DataFrame, new: DataFrame, i: int) -> bool:
-        n = new.where("changed").count()
+        row = oc.take()
+        n = (row["n"] or 0) if row is not None else new.where("changed").count()
         last_changed["n"] = n
         return n == 0
 

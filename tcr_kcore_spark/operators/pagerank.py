@@ -36,7 +36,12 @@ from tcr_kcore_spark.plans.partitioning import (
     plan_superstep_edges,
     state_side,
 )
-from tcr_kcore_spark.superstep import SuperstepStats, propagate_release, run_supersteps
+from tcr_kcore_spark.superstep import (
+    ObservedConvergence,
+    SuperstepStats,
+    propagate_release,
+    run_supersteps,
+)
 
 
 def pagerank(
@@ -118,14 +123,21 @@ def pagerank(
         # the old rank for the delta — r5 joined verts ⟕ msgs and then
         # state again (two joins + an extra broadcast build per superstep)
         msgs_b = F.broadcast(msgs) if bcast else msgs
-        return state.join(msgs_b, "id", "left").select(
+        out = state.join(msgs_b, "id", "left").select(
             "id",
             (new_rank).alias("rank"),
             F.abs(new_rank - F.col("rank")).alias("delta"),
         )
+        # max|Δ| is collected DURING the materialization job (r6) — the
+        # separate per-chain agg action disappears (guide §1.2)
+        return oc.attach(out, F.max("delta").alias("d"))
+
+    oc = ObservedConvergence()
 
     def converged(prev: DataFrame, new: DataFrame, i: int) -> bool:
-        return (new.agg(F.max("delta")).first()[0] or 0.0) <= tol
+        row = oc.take()
+        d = row["d"] if row is not None else new.agg(F.max("delta")).first()[0]
+        return (d or 0.0) <= tol
 
     state, stats = run_supersteps(
         init,
@@ -229,17 +241,22 @@ def personalized_pagerank(
             F.col("msg"), F.lit(0.0)
         )
         msgs_b = F.broadcast(msgs) if bcast else msgs
-        return state.join(msgs_b, "id", "left").select(
+        out = state.join(msgs_b, "id", "left").select(
             "id",
             "p",
             new_rank.alias("rank"),
             F.abs(new_rank - F.col("rank")).alias("delta"),
         )
+        return oc.attach(out, F.max("delta").alias("d"))
+
+    oc = ObservedConvergence()
 
     def converged(prev: DataFrame, new: DataFrame, i: int) -> bool:
+        row = oc.take()  # clears the pending observation either way
         if tol <= 0:
             return False
-        return (new.agg(F.max("delta")).first()[0] or 0.0) <= tol
+        d = row["d"] if row is not None else new.agg(F.max("delta")).first()[0]
+        return (d or 0.0) <= tol
 
     state, stats = run_supersteps(
         init,

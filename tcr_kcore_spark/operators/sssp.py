@@ -18,7 +18,12 @@ from tcr_kcore_spark.plans.partitioning import (
     plan_superstep_edges,
     state_side,
 )
-from tcr_kcore_spark.superstep import SuperstepStats, propagate_release, run_supersteps
+from tcr_kcore_spark.superstep import (
+    ObservedConvergence,
+    SuperstepStats,
+    propagate_release,
+    run_supersteps,
+)
 
 
 def sssp(
@@ -60,7 +65,7 @@ def sssp(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min(F.col("sdist") + F.col("w")).alias("msg"))
         )
-        return (
+        out = (
             state.join(F.broadcast(msgs) if bcast else msgs, "id", "left")
             .select(
                 "id",
@@ -82,8 +87,15 @@ def sssp(
                 ).alias("changed"),
             )
         )
+        # changed-count collected during the materialization job (r6)
+        return oc.attach(out, F.sum(F.col("changed").cast("long")).alias("n"))
+
+    oc = ObservedConvergence()
 
     def converged(prev: DataFrame, new: DataFrame, i: int) -> bool:
+        row = oc.take()
+        if row is not None:
+            return (row["n"] or 0) == 0
         return new.where("changed").limit(1).count() == 0
 
     state, stats = run_supersteps(

@@ -183,6 +183,44 @@ def release_state(df: DataFrame) -> None:
         _SCRATCH_DIRS.discard(scratch)
 
 
+class ObservedConvergence:
+    """Collect the per-superstep convergence scalar DURING the state
+    materialization job instead of with a separate driver action.
+
+    ``step_fn`` attaches an aggregate expression to its output frame via
+    :meth:`attach`; the ``CollectMetrics`` node is a data pass-through, so
+    the plan's rows are unchanged, and the metric is computed while
+    ``truncate_lineage`` materializes the state (run_supersteps always
+    materializes eagerly before calling ``converged``).  ``take`` then
+    returns the LAST attached step's observed row without launching a job
+    — replacing the r5 pattern of one extra ``agg``/``count`` job per
+    convergence check.  Returns None when nothing was attached (callers
+    keep their explicit aggregation as the fallback).
+
+    With ``truncate_every > 1`` several chained steps attach observations;
+    all of them fire inside the one chained job and ``take`` reads the
+    last (the state the convergence check is about)."""
+
+    def __init__(self) -> None:
+        self._pending: list = []
+
+    def attach(self, df: DataFrame, *exprs) -> DataFrame:
+        from pyspark.sql import Observation
+
+        ob = Observation()
+        self._pending.append(ob)
+        return df.observe(ob, *exprs)
+
+    def take(self) -> dict | None:
+        """Observed row of the most recently attached step (the others,
+        if any, fired in the same job and are discarded)."""
+        if not self._pending:
+            return None
+        last = self._pending[-1]
+        self._pending.clear()
+        return last.get
+
+
 @dataclass
 class SuperstepStats:
     """Telemetry for one run — feeds bench.py's supersteps/sec metric."""
