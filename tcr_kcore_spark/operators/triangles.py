@@ -179,10 +179,16 @@ def local_clustering_coefficient(g: LinkGraph) -> DataFrame:
     return propagate_release(out, tri)
 
 
-def edge_support(edges_canon: DataFrame) -> DataFrame:
+def edge_support(edges_canon: DataFrame, narrow_ids: bool | None = None) -> DataFrame:
     """(a, b, support): triangles through each canonical (a < b) edge of
     an undirected edge set given in canonical form (edges in no triangle
     are absent — callers outer-join + coalesce 0).
+
+    ``narrow_ids``: run the wedge join over int32 ids (the
+    triangles_per_vertex narrowing, ~30% of the wedge phase measured at
+    sf0.1) — lossless only when every id fits int32, so pass True only
+    when that is known (ktruss checks once per run); None decides here
+    with one min/max aggregation; credits are cast back to long.
 
     r6: wedges are oriented by (degree, id) — the same hub-safe total
     order ``triangles_per_vertex`` uses — instead of the r5 id order.  In
@@ -198,6 +204,15 @@ def edge_support(edges_canon: DataFrame) -> DataFrame:
     the closing probe) each re-derive one broadcast-join pass over it —
     cheap next to the wedge join itself."""
     e = edges_canon.select(F.col("a"), F.col("b"))
+    if narrow_ids is None:
+        row = e.agg(F.min("a").alias("mn"), F.max("b").alias("mx")).first()
+        narrow_ids = (
+            row["mn"] is not None
+            and row["mn"] >= -(2**31)
+            and row["mx"] < 2**31
+        )
+    if narrow_ids:
+        e = e.select(F.col("a").cast("int"), F.col("b").cast("int"))
     deg = (
         e.select(F.col("a").alias("id"))
         .unionByName(e.select(F.col("b").alias("id")))
@@ -237,7 +252,12 @@ def edge_support(edges_canon: DataFrame) -> DataFrame:
         .unionByName(tri.select(F.least("x", "z").alias("a"), F.greatest("x", "z").alias("b")))
         .unionByName(tri.select(F.least("y", "z").alias("a"), F.greatest("y", "z").alias("b")))
     )
-    return credits.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+    out = credits.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+    if narrow_ids:
+        out = out.select(
+            F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b"), "support"
+        )
+    return out
 
 
 def ktruss(
@@ -280,13 +300,21 @@ def ktruss(
         .distinct()
     )
     cur = truncate_lineage(cur)
-    n_cur = cur.count()
+    # one planning action: edge count + id range (int32 wedge narrowing,
+    # see edge_support; ids only shrink as edges drop, so decide once)
+    crow = cur.agg(
+        F.count(F.lit(1)).alias("n"), F.min("a").alias("mn"), F.max("b").alias("mx")
+    ).first()
+    n_cur = crow["n"]
+    narrow = (
+        crow["mn"] is not None and crow["mn"] >= -(2**31) and crow["mx"] < 2**31
+    )
     stats.actions += 1
     thresh = int(k) - 2
 
     if not incremental:
         for _ in range(max_iter):
-            sup = edge_support(cur)
+            sup = edge_support(cur, narrow_ids=narrow)
             nxt = (
                 cur.join(sup, ["a", "b"], "left")
                 .where(F.coalesce(F.col("support"), F.lit(0)) >= thresh)
@@ -314,7 +342,7 @@ def ktruss(
     # identical support table, so the round structure never changes.
     n_surv = n_cur
     sup = truncate_lineage(
-        cur.join(edge_support(cur), ["a", "b"], "left").select(
+        cur.join(edge_support(cur, narrow_ids=narrow), ["a", "b"], "left").select(
             "a", "b", F.coalesce(F.col("support"), F.lit(0)).alias("support")
         )
     )
@@ -337,7 +365,7 @@ def ktruss(
             # heavy-drop round: recount inside the survivor subgraph
             surv_e = survivors.select("a", "b")
             new_sup = truncate_lineage(
-                surv_e.join(edge_support(surv_e), ["a", "b"], "left").select(
+                surv_e.join(edge_support(surv_e, narrow_ids=narrow), ["a", "b"], "left").select(
                     "a",
                     "b",
                     F.coalesce(F.col("support"), F.lit(0)).alias("support"),
