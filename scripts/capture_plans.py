@@ -162,7 +162,19 @@ def plan_triangles(spark):
     from tcr_kcore_spark.plans.partitioning import broadcast_max_rows
 
     g = _graph(spark)
-    o = _oriented(g).persist()
+    verts = g.undirected_view().vertices().persist()
+    vrow = verts.agg(
+        F.count(F.lit(1)).alias("n"), F.min("id").alias("mn"), F.max("id").alias("mx")
+    ).first()
+    use_int = (
+        vrow["mn"] is not None and vrow["mn"] >= -(2**31) and vrow["mx"] < 2**31
+    )
+    o = _oriented(g)
+    if use_int:
+        o = o.select(
+            F.col("src").cast("int"), F.col("dst").cast("int"), F.col("dd").cast("int")
+        )
+    o = o.persist()
     w = (
         o.alias("a")
         .join(o.alias("b"), F.col("a.src") == F.col("b.src"))
@@ -185,8 +197,9 @@ def plan_triangles(spark):
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    verts = g.undirected_view().vertices().persist()
-    if verts.count() <= broadcast_max_rows():
+    if use_int:
+        per_vertex = per_vertex.select(F.col("id").cast("long").alias("id"), "triangles")
+    if vrow["n"] <= broadcast_max_rows():
         per_vertex = F.broadcast(per_vertex)
     out = verts.join(per_vertex, "id", "left").select(
         "id", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles")
