@@ -103,6 +103,7 @@ def bfs(
         checkpoint_every=checkpoint_every,
         name="bfs",
         resume=resume,
+        truncate_init=False,  # init projects the persisted vertex set
     )
     out = propagate_release(state.select("id", F.col("dist").alias("distance")), state)
     edges.unpersist()

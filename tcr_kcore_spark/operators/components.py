@@ -117,6 +117,7 @@ def _hashmin(
         checkpoint_every=checkpoint_every,
         name="cc_hashmin",
         resume=resume,
+        truncate_init=False,  # init projects the persisted vertex set
     )
     out = propagate_release(state.select("id", "component"), state)
     edges.unpersist()

@@ -141,6 +141,7 @@ def hits(
         checkpoint_every=checkpoint_every,
         name="hits",
         resume=resume,
+        truncate_init=False,  # init projects the persisted vertex set
     )
     out = propagate_release(state.select("id", "hub", "auth"), state)
     _release_held()

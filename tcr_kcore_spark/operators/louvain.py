@@ -197,6 +197,7 @@ def louvain_phase1(
         converged,
         max_iter=max_rounds,
         name="louvain_p1",
+        truncate_init=False,  # init projects the persisted vertex set
     )
     out = propagate_release(state.select("id", F.col("comm").alias("community")), state)
     edges.unpersist()

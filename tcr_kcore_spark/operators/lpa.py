@@ -85,6 +85,7 @@ def label_propagation(
         checkpoint_every=checkpoint_every,
         name="lpa",
         resume=resume,
+        truncate_init=False,  # init projects the persisted vertex set
     )
     edges.unpersist()
     verts.unpersist()

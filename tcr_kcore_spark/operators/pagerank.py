@@ -149,6 +149,8 @@ def pagerank(
         name="pagerank",
         resume=resume,
         truncate_every=truncate_every,
+        # init is a projection of the persisted vertex set — no truncation job
+        truncate_init=False,
     )
     result = propagate_release(state.select("id", "rank"), state)
     edges_w.unpersist()
@@ -268,6 +270,7 @@ def personalized_pagerank(
         name="ppr",
         resume=resume,
         truncate_every=truncate_every,
+        truncate_init=False,  # init projects the persisted verts_p
     )
     result = propagate_release(state.select("id", "rank"), state)
     edges_w.unpersist()

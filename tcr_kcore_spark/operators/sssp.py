@@ -107,6 +107,7 @@ def sssp(
         checkpoint_every=checkpoint_every,
         name="sssp",
         resume=resume,
+        truncate_init=False,  # init projects the persisted vertex set
     )
     out = propagate_release(state.select("id", F.col("dist").alias("distance")), state)
     edges.unpersist()

@@ -314,6 +314,7 @@ def run_supersteps(
     resume: bool = False,
     stats: SuperstepStats | None = None,
     truncate_every: int = 1,
+    truncate_init: bool = True,
 ) -> tuple[DataFrame, SuperstepStats]:
     """Run ``state = step_fn(state, i)`` until ``converged`` or ``max_iter``.
 
@@ -344,8 +345,14 @@ def run_supersteps(
 
     t0 = time.time()
     # truncate_lineage EVERY superstep — see its docstring for why both the
-    # plan and the carried statistics must be cut.
-    state = truncate_lineage(state)
+    # plan and the carried statistics must be cut.  ``truncate_init=False``
+    # skips the INITIAL truncation only (r6): when the init state is a
+    # trivial projection of an operator-persisted table, materializing it
+    # is one pure-overhead job — round 1 just re-reads the cached source
+    # (a second cheap scan per consumer), and round 1's OUTPUT truncation
+    # still cuts plan/stat growth before it can compound.
+    if truncate_init:
+        state = truncate_lineage(state)
     i = start_step
     while i < max_iter:
         t_step = time.time()
